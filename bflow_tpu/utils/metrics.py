@@ -1,0 +1,196 @@
+"""Optical-flow metrics: pure JAX functions + a host-side accumulator bank.
+
+Re-design of the reference torchmetrics classes (/root/reference/utils/
+metrics.py) for the JAX execution model:
+
+  * The per-batch metric *values* are pure functions evaluated inside the
+    jitted step. Under a data-parallel `jax.sharding.Mesh` the inputs are
+    globally sharded arrays, so the masked sums are global automatically —
+    XLA inserts the cross-device reductions (the torchmetrics
+    `dist_reduce_fx="sum"` machinery becomes a no-op by construction).
+  * Streaming across steps happens on the host in float64 via `MetricBank`
+    (sum of per-step scalars / number of steps), matching the reference's
+    float64 accumulator states and its mean-of-updates semantics.
+
+Each pure function returns ``(value, valid)``: ``valid`` is 0 when the
+update would have been skipped by the reference (no valid pixels).
+
+Layout: flows (N, H, W, 2) channels-last, masks (N, H, W) bool.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+MetricUpdate = Tuple[Array, Array]  # (value, valid weight in {0, 1})
+
+
+def _masked_mean(values: Array, mask: Optional[Array]) -> MetricUpdate:
+    if mask is None:
+        return values.mean(), jnp.float32(1.0)
+    m = mask.astype(values.dtype)
+    denom = m.sum()
+    val = (values * m).sum() / jnp.maximum(denom, 1.0)
+    return val, (denom > 0).astype(jnp.float32)
+
+
+def epe(source: Array, target: Array, valid_mask: Optional[Array] = None) -> MetricUpdate:
+    """End-point error: masked mean of the flow-error L2 norm."""
+    assert source.shape == target.shape
+    err = jnp.sqrt(jnp.square(source - target).sum(axis=-1))
+    return _masked_mean(err, valid_mask)
+
+
+def angular_error(
+    source: Array,
+    target: Array,
+    valid_mask: Optional[Array] = None,
+    degrees: bool = True,
+) -> MetricUpdate:
+    """Middlebury angular error with homogeneous (append-1) extension."""
+    assert source.shape == target.shape
+    ones = jnp.ones(source.shape[:-1] + (1,), dtype=source.dtype)
+    s = jnp.concatenate([source, ones], axis=-1)
+    t = jnp.concatenate([target, ones], axis=-1)
+    num = (s * t).sum(axis=-1)
+    den = jnp.linalg.norm(s, axis=-1) * jnp.linalg.norm(t, axis=-1)
+    cos = jnp.clip(num / den, -1.0, 1.0)
+    ae = jnp.arccos(cos)
+    if degrees:
+        ae = ae / math.pi * 180.0
+    return _masked_mean(ae, valid_mask)
+
+
+def n_pixel_error(
+    source: Array,
+    target: Array,
+    valid_mask: Optional[Array],
+    n_pixels: float,
+) -> MetricUpdate:
+    """Outlier percentage: error > n px AND relative error >= 5%."""
+    assert source.shape == target.shape
+    gt_magn = jnp.linalg.norm(target, axis=-1)
+    err_magn = jnp.linalg.norm(source - target, axis=-1)
+    rel = err_magn / jnp.clip(gt_magn, min=1e-6)
+    outlier = ((err_magn > n_pixels) & (rel >= 0.05)).astype(jnp.float32)
+    val, ok = _masked_mean(outlier, valid_mask)
+    return val * 100.0, ok
+
+
+def epe_multi(
+    sources: Sequence[Array],
+    targets: Sequence[Array],
+    valid_masks: Optional[Sequence[Array]] = None,
+    min_traj_len: Optional[float] = None,
+    max_traj_len: Optional[float] = None,
+) -> MetricUpdate:
+    """Mean EPE over supervision timestamps, optionally gated by the
+    ground-truth trajectory length (sum of consecutive displacements)."""
+    n = len(sources)
+    assert n > 0 and len(targets) == n
+    masks: List[Optional[Array]] = (
+        list(valid_masks) if valid_masks is not None else [None] * n
+    )
+    if min_traj_len is not None or max_traj_len is not None:
+        stack = jnp.stack(list(targets), axis=0)
+        diff = stack[1:] - stack[:-1]
+        traj = jnp.sqrt(jnp.square(diff).sum(axis=-1)).sum(axis=0)
+        gate = jnp.ones(traj.shape, dtype=bool)
+        if min_traj_len is not None:
+            gate &= traj >= min_traj_len
+        if max_traj_len is not None:
+            gate &= traj <= max_traj_len
+        masks = [gate if m is None else (m & gate) for m in masks]
+
+    total = jnp.float32(0.0)
+    count = jnp.float32(0.0)
+    for src, tgt, m in zip(sources, targets, masks):
+        val, ok = epe(src, tgt, m)
+        total = total + val * ok
+        count = count + ok
+    value = total / jnp.maximum(count, 1.0)
+    return value, (count > 0).astype(jnp.float32)
+
+
+def ae_multi(
+    sources: Sequence[Array],
+    targets: Sequence[Array],
+    valid_masks: Optional[Sequence[Array]] = None,
+    degrees: bool = True,
+) -> MetricUpdate:
+    n = len(sources)
+    assert n > 0 and len(targets) == n
+    masks = list(valid_masks) if valid_masks is not None else [None] * n
+    total = jnp.float32(0.0)
+    for src, tgt, m in zip(sources, targets, masks):
+        val, _ = angular_error(src, tgt, m, degrees=degrees)
+        total = total + val
+    return total / n, jnp.float32(1.0)
+
+
+def l1_channel_masked_metric(
+    source: Array, target: Array, valid_mask: Optional[Array] = None
+) -> MetricUpdate:
+    from bflow_tpu.utils.losses import l1_loss_masked
+
+    return l1_loss_masked(source, target, valid_mask), jnp.float32(1.0)
+
+
+def predictions_from_lin_assumption(
+    source: Array, target_timestamps: Sequence[float]
+) -> List[Array]:
+    """Linear-motion baseline: scale the final flow by each timestamp."""
+    assert max(target_timestamps) <= 1 and min(target_timestamps) >= 0
+    return [float(t) * source for t in target_timestamps]
+
+
+def single_flow_metrics(
+    source: Array, target: Array, valid_mask: Optional[Array] = None
+) -> Dict[str, MetricUpdate]:
+    """The reference's single-flow MetricCollection: epe/ae/1pe/2pe/3pe."""
+    return {
+        "epe": epe(source, target, valid_mask),
+        "ae": angular_error(source, target, valid_mask, degrees=True),
+        "1pe": n_pixel_error(source, target, valid_mask, 1.0),
+        "2pe": n_pixel_error(source, target, valid_mask, 2.0),
+        "3pe": n_pixel_error(source, target, valid_mask, 3.0),
+    }
+
+
+class MetricBank:
+    """Host-side float64 streaming accumulator (mean of per-step values).
+
+    Mirrors torchmetrics' (sum, total) state pairs: `update` adds one
+    step's scalar per metric (skipping invalid updates), `compute` returns
+    the running means, `reset` clears the state.
+    """
+
+    def __init__(self) -> None:
+        self._sum: Dict[str, float] = {}
+        self._cnt: Dict[str, int] = {}
+
+    def update(self, updates: Dict[str, MetricUpdate]) -> None:
+        for name, (value, valid) in updates.items():
+            if float(np.asarray(valid)) <= 0.0:
+                continue
+            self._sum[name] = self._sum.get(name, 0.0) + float(
+                np.asarray(value, dtype=np.float64)
+            )
+            self._cnt[name] = self._cnt.get(name, 0) + 1
+
+    def compute(self) -> Dict[str, float]:
+        return {
+            name: self._sum[name] / self._cnt[name]
+            for name in self._sum
+            if self._cnt.get(name, 0) > 0
+        }
+
+    def reset(self) -> None:
+        self._sum.clear()
+        self._cnt.clear()
