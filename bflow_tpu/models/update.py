@@ -1,0 +1,111 @@
+"""Update block: motion encoder, separable conv GRU, prediction heads.
+
+Architecture mirrors the reference update block (/root/reference/models/
+raft_spline/update.py) in NHWC flax.linen. The Bezier parameter channel
+layout fed to convolutions is (x_P1..x_Pn, y_P1..y_Pn) — dimension-major,
+matching the reference's (CTRL_DIM, degree) view — so imported torch
+weights line up channel-for-channel.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bflow_tpu.models.config import RaftSplineConfig
+from bflow_tpu.models.extractor import kaiming_out
+
+
+class BezierHead(nn.Module):
+    bezier_degree: int
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(self.hidden_dim, (3, 3), padding=1,
+                    kernel_init=kaiming_out, name="conv1")(x)
+        x = nn.relu(x)
+        return nn.Conv(self.bezier_degree * 2, (3, 3), padding=1,
+                       kernel_init=kaiming_out, name="conv2")(x)
+
+
+class SepConvGRU(nn.Module):
+    """Two-pass gated GRU with separable 1x5 / 5x1 convolutions."""
+
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
+        d = self.hidden_dim
+
+        def half(h, x, kernel, pad, suffix):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(nn.Conv(d, kernel, padding=pad,
+                                   kernel_init=kaiming_out,
+                                   name=f"convz{suffix}")(hx))
+            r = nn.sigmoid(nn.Conv(d, kernel, padding=pad,
+                                   kernel_init=kaiming_out,
+                                   name=f"convr{suffix}")(hx))
+            rhx = jnp.concatenate([r * h, x], axis=-1)
+            q = nn.tanh(nn.Conv(d, kernel, padding=pad,
+                                kernel_init=kaiming_out,
+                                name=f"convq{suffix}")(rhx))
+            return (1.0 - z) * h + z * q
+
+        h = half(h, x, (1, 5), ((0, 0), (2, 2)), "1")  # horizontal pass
+        h = half(h, x, (5, 1), ((2, 2), (0, 0)), "2")  # vertical pass
+        return h
+
+
+class BasicMotionEncoder(nn.Module):
+    config: RaftSplineConfig
+
+    @nn.compact
+    def __call__(self, bezier: jax.Array, corr: jax.Array) -> jax.Array:
+        cfg = self.config
+        assert corr.shape[-1] == cfg.corr_planes, (
+            corr.shape, cfg.corr_planes)
+        bezier_planes = cfg.bezier_degree * 2
+        assert bezier.shape[-1] == bezier_planes
+
+        cor = nn.relu(nn.Conv(256, (1, 1), kernel_init=kaiming_out,
+                              name="convc1")(corr))
+        cor = nn.relu(nn.Conv(192, (3, 3), padding=1,
+                              kernel_init=kaiming_out, name="convc2")(cor))
+        bez = nn.relu(nn.Conv(128, (7, 7), padding=3,
+                              kernel_init=kaiming_out, name="convf1")(bezier))
+        bez = nn.relu(nn.Conv(64, (3, 3), padding=1,
+                              kernel_init=kaiming_out, name="convf2")(bez))
+
+        both = jnp.concatenate([cor, bez], axis=-1)
+        out = nn.relu(
+            nn.Conv(cfg.motion_dim - bezier_planes, (3, 3), padding=1,
+                    kernel_init=kaiming_out, name="conv")(both)
+        )
+        return jnp.concatenate([out, bezier], axis=-1)
+
+
+class BasicUpdateBlock(nn.Module):
+    config: RaftSplineConfig
+
+    @nn.compact
+    def __call__(
+        self, net: jax.Array, inp: jax.Array, corr: jax.Array,
+        bezier: jax.Array,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Returns (new hidden state, upsample mask logits, delta bezier)."""
+        cfg = self.config
+        motion = BasicMotionEncoder(cfg, name="encoder")(bezier, corr)
+        gru_in = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(cfg.hidden_dim, name="gru")(net, gru_in)
+        delta = BezierHead(cfg.bezier_degree, name="bezier_head")(net)
+
+        m = nn.relu(nn.Conv(256, (3, 3), padding=1, kernel_init=kaiming_out,
+                            name="mask_0")(net))
+        m = nn.Conv(64 * 9, (1, 1), kernel_init=kaiming_out,
+                    name="mask_2")(m)
+        # gradient-balancing scale, reference update.py:125
+        return net, 0.25 * m, delta

@@ -1,0 +1,154 @@
+"""Shape-golden tests for RAFTSpline (DSEC and MultiFlow configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bflow_tpu.models import RAFTSpline, RaftSplineConfig
+from bflow_tpu.ops import BezierCurves
+
+DSEC_SMALL = RaftSplineConfig(
+    nbins_context=5,
+    nbins_correlation=5,
+    bezier_degree=2,
+    use_events=True,
+    use_images=True,
+    ev_target_indices=(1, 2, 3, 4),
+    ev_levels=(1, 1, 1, 4),
+    iters_train=3,
+    iters_test=3,
+)
+
+MULTIFLOW_SMALL = RaftSplineConfig(
+    nbins_context=11,
+    nbins_correlation=7,
+    bezier_degree=10,
+    use_events=True,
+    use_images=False,
+    ev_target_indices=(2, 4, 6, 8, 10),
+    ev_levels=(1, 1, 1, 1, 2),
+    iters_train=2,
+    iters_test=2,
+)
+
+
+def make_inputs(cfg, N=1, H=64, W=64, rng=None):
+    rng = rng or np.random.default_rng(0)
+    voxel = jnp.asarray(
+        rng.standard_normal((N, H, W, cfg.nbins_total)), jnp.float32
+    )
+    images = (
+        jnp.asarray(rng.integers(0, 255, (2, N, H, W, 3)), jnp.float32)
+        if cfg.use_images
+        else None
+    )
+    return voxel, images
+
+
+def test_corr_planes_dsec_config():
+    # DSEC events+images E_I_LU4_BD2: (1+1+1+4)*81 + 4*81 = 891
+    assert DSEC_SMALL.corr_planes == 891
+    # MultiFlow E_I_LU5_BD10: (1+1+1+1+4)*81 + 4*81 = 972
+    mf = RaftSplineConfig(
+        nbins_context=41,
+        nbins_correlation=25,
+        bezier_degree=10,
+        ev_target_indices=(8, 16, 24, 32, 40),
+        ev_levels=(1, 1, 1, 1, 4),
+    )
+    assert mf.corr_planes == 972
+    # frames always add their own t=1 target (reference raft.py:176-177)
+    np.testing.assert_allclose(
+        mf.lookup_timestamps, (0.2, 0.4, 0.6, 0.8, 1.0, 1.0), rtol=1e-12
+    )
+
+
+def test_dsec_forward_shapes(rng):
+    cfg = DSEC_SMALL
+    N, H, W = 1, 64, 64
+    voxel, images = make_inputs(cfg, N, H, W, rng)
+    model = RAFTSpline(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), voxel, images, test_mode=True, train=False
+    )
+    assert "batch_stats" in variables  # cnet uses batch norm
+
+    # test mode: (low-res final, upsampled final)
+    low, up = model.apply(variables, voxel, images, test_mode=True)
+    assert isinstance(low, BezierCurves) and isinstance(up, BezierCurves)
+    assert low.params.shape == (N, H // 8, W // 8, cfg.bezier_degree, 2)
+    assert up.params.shape == (N, H, W, cfg.bezier_degree, 2)
+
+    flow = up.flow_at(1.0)
+    assert flow.shape == (N, H, W, 2)
+    assert bool(jnp.isfinite(flow).all())
+
+
+def test_dsec_train_mode_predictions(rng):
+    cfg = DSEC_SMALL
+    N, H, W = 2, 32, 48
+    voxel, images = make_inputs(cfg, N, H, W, rng)
+    model = RAFTSpline(cfg)
+    variables = model.init(jax.random.PRNGKey(0), voxel, images, train=False)
+
+    preds, mutated = model.apply(
+        variables, voxel, images, train=True, mutable=["batch_stats"]
+    )
+    assert len(preds) == cfg.iters_train
+    for p in preds:
+        assert p.params.shape == (N, H, W, cfg.bezier_degree, 2)
+    assert "batch_stats" in mutated
+
+
+def test_multiflow_events_only(rng):
+    cfg = MULTIFLOW_SMALL
+    N, H, W = 1, 32, 32
+    voxel, _ = make_inputs(cfg, N, H, W, rng)
+    model = RAFTSpline(cfg)
+    variables = model.init(jax.random.PRNGKey(0), voxel, None, test_mode=True)
+    low, up = model.apply(variables, voxel, None, test_mode=True)
+    assert up.params.shape == (N, H, W, 10, 2)
+    # continuous-time queries across the window
+    flows = up.flow_at([0.1, 0.37, 0.9])
+    assert flows.shape == (3, N, H, W, 2)
+
+
+def test_param_shapes_match_reference_dims(rng):
+    cfg = DSEC_SMALL
+    voxel, images = make_inputs(cfg, 1, 32, 32, rng)
+    model = RAFTSpline(cfg)
+    variables = model.init(jax.random.PRNGKey(0), voxel, images)
+    params = variables["params"]
+
+    # motion encoder 1x1 conv over the 891 corr planes
+    assert params["update_block"]["encoder"]["convc1"]["kernel"].shape == (
+        1, 1, 891, 256,
+    )
+    # fnet_ev stem takes nbins_correlation channels, cnet takes ctx+3
+    assert params["fnet_ev"]["conv1"]["kernel"].shape == (7, 7, 5, 64)
+    assert params["cnet"]["conv1"]["kernel"].shape == (7, 7, 8, 64)
+    # mask head emits 576 logits
+    assert params["update_block"]["mask_2"]["kernel"].shape == (1, 1, 256, 576)
+    # bezier head emits 2*degree
+    assert params["update_block"]["bezier_head"]["conv2"]["kernel"].shape == (
+        3, 3, 256, 4,
+    )
+
+
+def test_flow_init_carries_through(rng):
+    cfg = MULTIFLOW_SMALL
+    N, H, W = 1, 32, 32
+    voxel, _ = make_inputs(cfg, N, H, W, rng)
+    model = RAFTSpline(cfg)
+    variables = model.init(jax.random.PRNGKey(0), voxel, None, test_mode=True)
+
+    init = BezierCurves(
+        jnp.ones((N, H // 8, W // 8, cfg.bezier_degree, 2)) * 3.0
+    )
+    low_a, _ = model.apply(variables, voxel, None, test_mode=True)
+    low_b, _ = model.apply(
+        variables, voxel, None, flow_init=init, test_mode=True
+    )
+    # warm start must change the trajectory
+    assert not np.allclose(np.asarray(low_a.params), np.asarray(low_b.params))
