@@ -1,0 +1,92 @@
+"""Headline benchmark: DSEC 480x640 events+images inference throughput.
+
+Measures dense continuous-time flow fields per second per chip on the
+flagship config (E_I_LU4_BD2_lowpyramid, 15 context bins, 12 refinement
+iterations, full 480x640 resolution) and compares against the BASELINE
+target of 200 fields/sec/chip on TPU v5e.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fields/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FIELDS_PER_SEC = 200.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from bflow_tpu.models import RAFTSpline
+
+    from __graft_entry__ import _flagship_config
+
+    cfg = _flagship_config()
+    model = RAFTSpline(cfg)
+
+    H, W = 480, 640
+    rng = np.random.default_rng(0)
+
+    def make_inputs(n):
+        voxel = jnp.asarray(
+            rng.standard_normal((n, H, W, cfg.nbins_total)), jnp.float32
+        )
+        images = jnp.asarray(
+            rng.integers(0, 255, (2, n, H, W, 3)), jnp.float32
+        )
+        return voxel, images
+
+    voxel1, images1 = make_inputs(1)
+    variables = jax.jit(
+        lambda v, i: model.init(jax.random.PRNGKey(0), v, i, test_mode=True)
+    )(voxel1, images1)
+
+    @jax.jit
+    def forward(variables, voxel, images):
+        _, bezier_up = model.apply(variables, voxel, images, test_mode=True)
+        return bezier_up.flow_at(1.0)
+
+    best = 0.0
+    best_batch = 1
+    for batch in (1, 2, 4):
+        try:
+            voxel, images = make_inputs(batch)
+            out = forward(variables, voxel, images)  # compile + warmup
+            jax.block_until_ready(out)
+            # timed steady-state
+            iters = 0
+            t0 = time.perf_counter()
+            while True:
+                out = forward(variables, voxel, images)
+                iters += 1
+                if iters >= 4 and time.perf_counter() - t0 > 3.0:
+                    break
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            fps = batch * iters / dt
+            if fps > best:
+                best, best_batch = fps, batch
+        except Exception:
+            break  # OOM at this batch size; keep best so far
+
+    print(
+        json.dumps(
+            {
+                "metric": "dsec_480x640_ei_inference_throughput",
+                "value": round(best, 2),
+                "unit": "fields/sec/chip",
+                "vs_baseline": round(best / BASELINE_FIELDS_PER_SEC, 3),
+                "batch_size": best_batch,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Device mesh + sharding helpers (the framework's entire comm surface).
+
+The reference's distributed machinery is DDP over NCCL: gradient
+all-reduce, BatchNorm stat sync, metric state reduction
+(/root/reference/train.py:46-52). The TPU-native equivalent is a 1-D
+`jax.sharding.Mesh` over the 'data' axis: batches are sharded along it,
+parameters/optimizer state are replicated, and a single `jit` of the
+train step makes XLA insert every collective (gradient psums ride the
+ICI automatically, batch-norm statistics are computed over the *global*
+batch because reductions see the sharded array). This also fixes the
+reference's broken multi-GPU launch path (inverted assert,
+/root/reference/train.py:52) by construction.
+
+For this ~6.5M-parameter dense CNN/GRU model, data parallelism is the
+only parallelism that pays: parameters fit in every chip's HBM hundreds
+of times over, so TP/PP would only add latency. The correlation target
+axis could be sharded for extreme resolutions; see
+bflow_tpu/models/corr.py for where that seam is.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    n_devices: Optional[int] = None,
+) -> Mesh:
+    """1-D data-parallel mesh over the given (or all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        assert len(devices) >= n_devices, (len(devices), n_devices)
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh, leading_axis: int = 0) -> NamedSharding:
+    """Shard an array's batch axis over 'data'."""
+    spec = [None] * leading_axis + [DATA_AXIS]
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a batch pytree with the batch axis sharded over 'data'.
+
+    Convention: every array leaf has the batch axis at position 0, except
+    IMG-style leading stacks of shape (2, N, ...) and MultiFlow FLOW
+    stacks (M, N, ...), whose batch axis is 1 — detected by ndim >= 4 with
+    a known leading axis marker is fragile, so we use key names instead.
+    """
+    from bflow_tpu.data.keys import DataLoading as K
+
+    def place(key, leaf):
+        if not hasattr(leaf, "ndim") or leaf.ndim == 0:
+            return leaf
+        axis = 1 if key in (K.IMG.value,) and leaf.ndim >= 4 else 0
+        if key == K.FLOW.value and leaf.ndim == 5:
+            axis = 1  # (M, N, H, W, 2) multi-timestamp stack
+        return jax.device_put(leaf, batch_sharding(mesh, axis))
+
+    return {k: place(k, v) for k, v in batch.items()}

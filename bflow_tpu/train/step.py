@@ -1,0 +1,157 @@
+"""Jittable train / eval steps for both dataset families.
+
+One fused XLA graph per step: forward (12 unrolled refinement
+iterations), loss over all iterations, backward, elementwise gradient
+clamp, AdamW update, and metric reductions. Under a data-parallel mesh
+the batch arrives sharded along 'data'; gradient and metric psums are
+inserted by the compiler from the sharding alone.
+
+Loss/metric branching per dataset family mirrors the reference
+LightningModule (/root/reference/modules/raft_spline.py:87-175,207-306),
+with the MultiFlow supervision timestamps static (they are fixed by the
+dataset recipe, and the reference asserts they're batch-constant).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bflow_tpu.data.keys import DataLoading as K
+from bflow_tpu.models.raft_spline import RAFTSpline
+from bflow_tpu.train.state import TrainState
+from bflow_tpu.utils import metrics as M
+from bflow_tpu.utils.losses import (
+    l1_multi_seq_loss_masked,
+    l1_seq_loss_masked,
+)
+
+
+@dataclass(frozen=True)
+class TaskConfig:
+    """Static supervision recipe (hashable, closed over by jit)."""
+
+    dataset: str  # 'dsec' | 'multiflow2d'
+    multi_loss: bool = False
+    # MultiFlow ground-truth supervision timestamps, normalized to [0, 1].
+    supervision_timestamps: Tuple[float, ...] = ()
+    gamma: float = 0.8
+
+    def __post_init__(self):
+        assert self.dataset in ("dsec", "multiflow2d")
+        if self.dataset == "multiflow2d":
+            assert len(self.supervision_timestamps) > 0
+
+
+def _unpack(batch: Dict[str, Any], use_images: bool):
+    voxel = batch.get(K.EV_REPR.value)
+    images = batch.get(K.IMG.value) if use_images else None
+    flow = batch[K.FLOW.value]
+    valid = batch.get(K.FLOW_VALID.value)
+    return voxel, images, flow, valid
+
+
+def make_train_step(model: RAFTSpline, task: TaskConfig, tx):
+    cfg = model.config
+
+    def loss_fn(params, batch_stats, batch):
+        voxel, images, flow, valid = _unpack(batch, cfg.use_images)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        preds, mutated = model.apply(
+            variables,
+            voxel,
+            images,
+            iters=cfg.iters_train,
+            train=True,
+            mutable=["batch_stats"],
+        )
+
+        metrics: Dict[str, M.MetricUpdate] = {}
+        if task.dataset == "dsec":
+            flows = [p.flow_at(1.0) for p in preds]
+            loss = l1_seq_loss_masked(flows, flow, valid, task.gamma)
+            metrics["train/l1_seq_loss"] = (loss, jnp.float32(1.0))
+            for k, v in M.single_flow_metrics(flows[-1], flow, valid).items():
+                metrics[f"train/{k}"] = v
+        else:
+            ts = task.supervision_timestamps
+            # flow: (M, N, H, W, 2) stacked over supervision timestamps
+            targets = [flow[i] for i in range(len(ts))]
+            flows_it = [[p.flow_at(t) for t in ts] for p in preds]
+            if task.multi_loss:
+                loss = l1_multi_seq_loss_masked(
+                    flows_it, targets, None, task.gamma
+                )
+                metrics["train/l1_multi_seq_loss"] = (loss, jnp.float32(1.0))
+            else:
+                loss = l1_seq_loss_masked(
+                    [row[-1] for row in flows_it], targets[-1], None, task.gamma
+                )
+                metrics["train/l1_seq_loss"] = (loss, jnp.float32(1.0))
+            final = flows_it[-1]
+            for k, v in M.single_flow_metrics(final[-1], targets[-1]).items():
+                metrics[f"train/{k}"] = v
+            metrics["train/epe_multi"] = M.epe_multi(final, targets)
+            metrics["train/ae_multi"] = M.ae_multi(final, targets)
+            lin = M.predictions_from_lin_assumption(final[-1], ts)
+            metrics["train/epe_multi_lin"] = M.epe_multi(lin, targets)
+            metrics["train/ae_multi_lin"] = M.ae_multi(lin, targets)
+
+        return loss, (mutated.get("batch_stats", {}), metrics)
+
+    def train_step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (new_bs, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: RAFTSpline, task: TaskConfig):
+    cfg = model.config
+
+    def eval_step(variables, batch):
+        voxel, images, flow, valid = _unpack(batch, cfg.use_images)
+        _, bezier_up = model.apply(
+            variables, voxel, images, iters=cfg.iters_test,
+            test_mode=True, train=False,
+        )
+
+        metrics: Dict[str, M.MetricUpdate] = {}
+        if task.dataset == "dsec":
+            pred = bezier_up.flow_at(1.0)
+            for k, v in M.single_flow_metrics(pred, flow, valid).items():
+                metrics[f"val/{k}"] = v
+            prediction = pred
+        else:
+            ts = task.supervision_timestamps
+            targets = [flow[i] for i in range(len(ts))]
+            preds = [bezier_up.flow_at(t) for t in ts]
+            for k, v in M.single_flow_metrics(preds[-1], targets[-1]).items():
+                metrics[f"val/{k}"] = v
+            metrics["val/epe_multi"] = M.epe_multi(preds, targets)
+            metrics["val/ae_multi"] = M.ae_multi(preds, targets)
+            lin = M.predictions_from_lin_assumption(preds[-1], ts)
+            metrics["val/epe_multi_lin"] = M.epe_multi(lin, targets)
+            metrics["val/ae_multi_lin"] = M.ae_multi(lin, targets)
+            prediction = preds[-1]
+
+        return metrics, prediction
+
+    return eval_step

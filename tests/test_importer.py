@@ -1,0 +1,231 @@
+"""Torch-checkpoint importer: structural completeness + numeric parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from bflow_tpu.importer.torch_ckpt import convert_state_dict
+from bflow_tpu.models import RAFTSpline, RaftSplineConfig
+
+CFG = RaftSplineConfig(
+    nbins_context=5,
+    nbins_correlation=5,
+    bezier_degree=2,
+    use_events=True,
+    use_images=True,
+    ev_target_indices=(1, 2, 3, 4),
+    ev_levels=(1, 1, 1, 4),
+    iters_train=2,
+    iters_test=2,
+)
+
+
+def encoder_keys(prefix, in_ch, out_ch, norm):
+    """Torch state-dict entries of the reference BasicEncoder."""
+    g = np.random.default_rng(hash(prefix) % 2**32)
+    sd = {}
+
+    def conv(name, o, i, k):
+        kh, kw = (k, k) if isinstance(k, int) else k
+        sd[f"{prefix}.{name}.weight"] = g.standard_normal((o, i, kh, kw)).astype(np.float32) * 0.05
+        sd[f"{prefix}.{name}.bias"] = g.standard_normal((o,)).astype(np.float32) * 0.05
+
+    def normp(name, c):
+        if norm == "instance":
+            return  # torch InstanceNorm2d default: no affine, no stats
+        sd[f"{prefix}.{name}.weight"] = np.abs(g.standard_normal((c,)).astype(np.float32)) + 0.5
+        sd[f"{prefix}.{name}.bias"] = g.standard_normal((c,)).astype(np.float32) * 0.05
+        if norm == "batch":
+            sd[f"{prefix}.{name}.running_mean"] = g.standard_normal((c,)).astype(np.float32) * 0.1
+            sd[f"{prefix}.{name}.running_var"] = np.abs(g.standard_normal((c,)).astype(np.float32)) + 1.0
+            sd[f"{prefix}.{name}.num_batches_tracked"] = np.asarray(7, np.int64)
+
+    conv("conv1", 64, in_ch, 7)
+    normp("norm1", 64)
+    planes = {1: 64, 2: 96, 3: 128}
+    in_planes = 64
+    for stage in (1, 2, 3):
+        p = planes[stage]
+        for blk in (0, 1):
+            base = f"layer{stage}.{blk}"
+            conv(f"{base}.conv1", p, in_planes if blk == 0 else p, 3)
+            conv(f"{base}.conv2", p, p, 3)
+            normp(f"{base}.norm1", p)
+            normp(f"{base}.norm2", p)
+            if blk == 0 and stage != 1:
+                conv(f"{base}.downsample.0", p, in_planes, 1)
+                normp(f"{base}.downsample.1", p)
+        in_planes = p
+    conv("conv2", out_ch, 128, 1)
+    return sd
+
+
+def update_block_keys(cfg):
+    g = np.random.default_rng(42)
+    sd = {}
+
+    def conv(name, o, i, k):
+        kh, kw = (k, k) if isinstance(k, int) else k
+        sd[f"net.update_block.{name}.weight"] = g.standard_normal((o, i, kh, kw)).astype(np.float32) * 0.05
+        sd[f"net.update_block.{name}.bias"] = g.standard_normal((o,)).astype(np.float32) * 0.05
+
+    bz = cfg.bezier_degree * 2
+    conv("encoder.convc1", 256, cfg.corr_planes, 1)
+    conv("encoder.convc2", 192, 256, 3)
+    conv("encoder.convf1", 128, bz, 7)
+    conv("encoder.convf2", 64, 128, 3)
+    conv("encoder.conv", cfg.motion_dim - bz, 256, 3)
+    gru_in = cfg.context_dim + cfg.motion_dim
+    for suffix, k in (("1", (1, 5)), ("2", (5, 1))):
+        for gate in ("z", "r", "q"):
+            conv(f"gru.conv{gate}{suffix}", cfg.hidden_dim, cfg.hidden_dim + gru_in, k)
+    conv("bezier_head.conv1", 256, cfg.hidden_dim, 3)
+    conv("bezier_head.conv2", bz, 256, 3)
+    conv("mask.0", 256, cfg.hidden_dim, 3)
+    conv("mask.2", 576, 256, 1)
+    return sd
+
+
+def reference_state_dict(cfg):
+    sd = {}
+    sd.update(encoder_keys("net.fnet_ev", cfg.nbins_correlation, cfg.feature_dim, cfg.feature_norm))
+    sd.update(encoder_keys("net.fnet_img", 3, cfg.feature_dim, cfg.feature_norm))
+    sd.update(encoder_keys("net.cnet", cfg.nbins_context + 3,
+                           cfg.hidden_dim + cfg.context_dim, cfg.context_norm))
+    sd.update(update_block_keys(cfg))
+    return sd
+
+
+@pytest.fixture(scope="module")
+def template():
+    rng = np.random.default_rng(0)
+    voxel = jnp.asarray(rng.standard_normal((1, 32, 32, CFG.nbins_total)), jnp.float32)
+    images = jnp.asarray(rng.integers(0, 255, (2, 1, 32, 32, 3)), jnp.float32)
+    model = RAFTSpline(CFG)
+    variables = model.init(jax.random.PRNGKey(0), voxel, images, test_mode=True)
+    return model, variables, voxel, images
+
+
+def test_import_structural_completeness(template):
+    model, variables, voxel, images = template
+    sd = reference_state_dict(CFG)
+    out = convert_state_dict(sd, variables)
+    # every leaf present with the right shape, checked by convert itself;
+    # spot-check a transposed kernel value
+    w = sd["net.fnet_ev.conv1.weight"]
+    np.testing.assert_array_equal(
+        out["params"]["fnet_ev"]["conv1"]["kernel"], w.transpose(2, 3, 1, 0)
+    )
+    np.testing.assert_array_equal(
+        out["batch_stats"]["cnet"]["norm1"]["BatchNorm_0"]["mean"],
+        sd["net.cnet.norm1.running_mean"],
+    )
+    # imported variables must run
+    low, up = model.apply(
+        {"params": out["params"], "batch_stats": out["batch_stats"]},
+        voxel, images, test_mode=True,
+    )
+    assert bool(jnp.isfinite(up.params).all())
+
+
+def test_import_rejects_bad_shape(template):
+    _, variables, _, _ = template
+    sd = reference_state_dict(CFG)
+    sd["net.fnet_ev.conv1.weight"] = np.zeros((64, 99, 7, 7), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        convert_state_dict(sd, variables)
+
+
+def test_import_rejects_missing_key(template):
+    _, variables, _, _ = template
+    sd = reference_state_dict(CFG)
+    del sd["net.update_block.gru.convz1.weight"]
+    with pytest.raises(ValueError, match="param mismatch"):
+        convert_state_dict(sd, variables)
+
+
+def test_conv_numeric_parity_after_import(rng):
+    """Imported OIHW->HWIO conv must reproduce torch conv2d exactly."""
+    w = rng.standard_normal((8, 5, 7, 7)).astype(np.float32) * 0.1
+    b = rng.standard_normal((8,)).astype(np.float32)
+    x = rng.standard_normal((2, 5, 17, 19)).astype(np.float32)
+
+    want = F.conv2d(torch.from_numpy(x), torch.from_numpy(w),
+                    torch.from_numpy(b), stride=2, padding=3).numpy()
+
+    got = jax.lax.conv_general_dilated(
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(w.transpose(2, 3, 1, 0)),
+        window_strides=(2, 2),
+        padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    ) + jnp.asarray(b)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_batchnorm_eval_parity(rng):
+    """flax BatchNorm with imported running stats == torch eval BN."""
+    import flax.linen as nn
+
+    c = 16
+    x = rng.standard_normal((2, 9, 9, c)).astype(np.float32)
+    weight = rng.standard_normal((c,)).astype(np.float32)
+    bias = rng.standard_normal((c,)).astype(np.float32)
+    mean = rng.standard_normal((c,)).astype(np.float32)
+    var = np.abs(rng.standard_normal((c,)).astype(np.float32)) + 0.5
+
+    bn = torch.nn.BatchNorm2d(c).eval()
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(weight))
+        bn.bias.copy_(torch.from_numpy(bias))
+        bn.running_mean.copy_(torch.from_numpy(mean))
+        bn.running_var.copy_(torch.from_numpy(var))
+        want = bn(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    mod = nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5)
+    got = mod.apply(
+        {
+            "params": {"scale": jnp.asarray(weight), "bias": jnp.asarray(bias)},
+            "batch_stats": {"mean": jnp.asarray(mean), "var": jnp.asarray(var)},
+        },
+        jnp.asarray(x),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_instance_norm_parity(rng):
+    from bflow_tpu.models.extractor import instance_norm
+
+    x = rng.standard_normal((2, 11, 13, 6)).astype(np.float32)
+    want = F.instance_norm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(instance_norm(jnp.asarray(x))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_group_norm_parity(rng):
+    import flax.linen as nn
+
+    c, groups = 64, 8
+    x = rng.standard_normal((2, 7, 7, c)).astype(np.float32)
+    weight = rng.standard_normal((c,)).astype(np.float32)
+    bias = rng.standard_normal((c,)).astype(np.float32)
+    want = F.group_norm(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), groups,
+        torch.from_numpy(weight), torch.from_numpy(bias),
+    ).numpy()
+    mod = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+    got = mod.apply(
+        {"params": {"scale": jnp.asarray(weight), "bias": jnp.asarray(bias)}},
+        jnp.asarray(x),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, rtol=1e-3, atol=1e-4
+    )
