@@ -51,6 +51,16 @@ class RaftSplineConfig:
     # numerics: "bfloat16" fast path or "float32" parity path for the
     # correlation/feature matmuls. Parameters stay fp32 either way.
     corr_precision: str = "float32"
+    # correlation window lookup implementation:
+    #   'auto'   — pallas on TPU, gather elsewhere (default)
+    #   'pallas' — Pallas DMA kernel (TPU only)
+    #   'onehot' — MXU matmul formulation (XLA-only; compiles slowly at
+    #              production scale, useful for small shapes)
+    #   'gather' — XLA gather (exact oracle; fast on CPU, slow on TPU)
+    lookup_method: str = "auto"
+    # activation compute dtype for convolutions/GRU ("float32" parity /
+    # "bfloat16" fast inference+training). Parameters stay float32.
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         assert self.nbins_context > 0 and self.nbins_correlation > 0

@@ -52,6 +52,10 @@ def all_pairs_correlation(
     vol = jnp.einsum("tnqd,tnkd->tnqk", a, b, precision=prec,
                      preferred_element_type=jnp.float32)
     vol = vol / jnp.sqrt(jnp.float32(D))
+    if precision == "bfloat16":
+        # fast mode keeps the volume in bf16: halves the HBM traffic the
+        # per-iteration lookups stream (accumulation above was f32)
+        vol = vol.astype(jnp.bfloat16)
     return vol.reshape(T, N, h, w, h, w)
 
 
@@ -105,10 +109,84 @@ def build_corr_pyramid(
     return pyramid
 
 
+def _lookup_level_gather(vol, c, radius):
+    """Exact 4-corner gather (XLA gather op). Reference semantics, but
+    slow on TPU: lowers to scalar-core gathers (~200 ms/iter at DSEC val
+    resolution). Used on CPU and as the numerics oracle."""
+    Tl, N, h1, w1, _ = c.shape
+    hl, wl = vol.shape[-2:]
+    r = radius
+    win = 2 * r + 1
+    dy, dx = jnp.meshgrid(
+        jnp.arange(-r, r + 1, dtype=c.dtype),
+        jnp.arange(-r, r + 1, dtype=c.dtype),
+        indexing="ij",
+    )
+    delta = jnp.stack([dx.ravel(), dy.ravel()], axis=-1)  # (win^2, 2)
+    pts = c[..., None, :] + delta
+    flat_vol = vol.reshape(Tl * N * h1 * w1, hl, wl)
+    flat_pts = pts.reshape(Tl * N * h1 * w1, win * win, 2)
+    feat = bilinear_sample(flat_vol, flat_pts)
+    return feat.reshape(Tl, N, h1, w1, win * win)
+
+
+def _lookup_level_onehot(vol, c, radius, precision):
+    """Windowed bilinear lookup as two batched one-hot matmuls (MXU).
+
+    Every query needs the (2r+2)x(2r+2) integer patch around floor(c) of
+    its own (hl, wl) correlation map; the patch is extracted as
+    EY @ V @ EX^T with one-hot row/column selectors, then the four
+    corner-shifted (2r+1)^2 windows are blended with the fractional
+    weights. One-hot rows for out-of-range indices are all-zero, which
+    reproduces grid_sample's zero padding exactly. ~100x faster than the
+    gather lowering on TPU because the work lands on the MXU.
+    """
+    Tl, N, h1, w1, _ = c.shape
+    hl, wl = vol.shape[-2:]
+    r = radius
+    p = 2 * r + 2  # patch side
+
+    x = c[..., 0]
+    y = c[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None, None]  # (Tl,N,h1,w1,1,1)
+    fy = (y - y0)[..., None, None]
+
+    # offsets of patch rows/cols relative to floor(c): [-r, r+1]
+    offs = jnp.arange(-r, r + 2, dtype=jnp.int32)  # (p,)
+    ry = y0.astype(jnp.int32)[..., None] + offs  # (Tl,N,h1,w1,p)
+    rx = x0.astype(jnp.int32)[..., None] + offs
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, (hl,), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (wl,), 0)
+    dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    ey = (ry[..., None] == iy).astype(dtype)  # (Tl,N,h1,w1,p,hl)
+    ex = (rx[..., None] == ix).astype(dtype)  # (Tl,N,h1,w1,p,wl)
+
+    v = vol.astype(dtype)
+    prec = None if precision == "bfloat16" else jax.lax.Precision.HIGHEST
+    t1 = jnp.einsum("tnijah,tnijhw->tnijaw", ey, v, precision=prec,
+                    preferred_element_type=jnp.float32)
+    patch = jnp.einsum("tnijaw,tnijbw->tnijab", t1, ex.astype(t1.dtype),
+                       precision=prec, preferred_element_type=jnp.float32)
+
+    win = 2 * r + 1
+    out = (
+        (1 - fy) * (1 - fx) * patch[..., :win, :win]
+        + (1 - fy) * fx * patch[..., :win, 1:]
+        + fy * (1 - fx) * patch[..., 1:, :win]
+        + fy * fx * patch[..., 1:, 1:]
+    )
+    return out.reshape(Tl, N, h1, w1, win * win)
+
+
 def corr_lookup(
     pyramid: List[CorrLevel],
     coords: jax.Array,
     radius: int,
+    method: str = "onehot",
+    precision: str = "float32",
 ) -> jax.Array:
     """Gather (2r+1)^2 bilinear windows around per-target query coords.
 
@@ -117,33 +195,34 @@ def corr_lookup(
       coords: (T, N, h1, w1, 2) query positions per base target, in
         full-resolution volume pixels, (x, y) last.
       radius: window radius r.
+      method: 'auto' (pallas on TPU, gather elsewhere) | 'pallas' (DMA
+        kernel, TPU only) | 'onehot' (MXU matmuls; compiles slowly at
+        scale) | 'gather' (XLA gather — exact oracle, fast on CPU, slow
+        on TPU).
+      precision: 'float32' | 'bfloat16' for the onehot matmuls.
 
     Returns:
       (N, h1, w1, C) with C = sum over levels of |targets| * (2r+1)^2,
-      channels ordered (level, target, window[dy-major]).
+      channels ordered (level, target, window[dy-major]) — the reference
+      contract (corr.py:307-351).
     """
     T, N, h1, w1, _ = coords.shape
-    r = radius
-    win = 2 * r + 1
-
-    # Window offsets, dy-major to match the reference channel flattening.
-    dy, dx = jnp.meshgrid(
-        jnp.arange(-r, r + 1, dtype=coords.dtype),
-        jnp.arange(-r, r + 1, dtype=coords.dtype),
-        indexing="ij",
-    )
-    delta = jnp.stack([dx.ravel(), dy.ravel()], axis=-1)  # (win^2, 2)
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "gather"
 
     out_channels: List[jax.Array] = []
     for lvl, (target_idx, vol) in enumerate(pyramid):
-        Tl = len(target_idx)
-        hl, wl = vol.shape[-2:]
-        c = coords[jnp.asarray(target_idx)] / (2.0**lvl)  # (Tl,N,h1,w1,2)
-        pts = c[..., None, :] + delta  # (Tl,N,h1,w1,win^2,2)
-        flat_vol = vol.reshape(Tl * N * h1 * w1, hl, wl)
-        flat_pts = pts.reshape(Tl * N * h1 * w1, win * win, 2)
-        feat = bilinear_sample(flat_vol, flat_pts)
-        feat = feat.reshape(Tl, N, h1, w1, win * win)
+        c = coords[jnp.asarray(target_idx)] / (2.0**lvl)
+        if method == "gather":
+            feat = _lookup_level_gather(vol, c, radius)
+        elif method == "onehot":
+            feat = _lookup_level_onehot(vol, c, radius, precision)
+        elif method == "pallas":
+            from bflow_tpu.ops.pallas.corr_lookup import lookup_level_pallas
+
+            feat = lookup_level_pallas(vol, c, radius)
+        else:
+            raise ValueError(method)
         out_channels.append(feat)
 
     # (N, h1, w1, sum_l Tl*win^2), level-major then target then window.

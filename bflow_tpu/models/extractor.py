@@ -16,7 +16,7 @@ the globally sharded batch, so cross-replica stat sync (the reference's
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Union
+from typing import Any, List, Optional, Sequence, Union
 
 import flax.linen as nn
 import jax
@@ -39,17 +39,22 @@ class Norm(nn.Module):
 
     kind: str  # 'group' | 'batch' | 'instance' | 'none'
     num_groups: int = 8
+    dtype: Any = None  # computation dtype (None = float32)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         if self.kind == "group":
-            return nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5)(x)
+            return nn.GroupNorm(
+                num_groups=self.num_groups, epsilon=1e-5, dtype=self.dtype
+            )(x)
         if self.kind == "batch":
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype,
             )(x)
         if self.kind == "instance":
-            return instance_norm(x)
+            # statistics in f32 regardless of compute dtype
+            return instance_norm(x.astype(jnp.float32)).astype(x.dtype)
         if self.kind == "none":
             return x
         raise NotImplementedError(self.kind)
@@ -59,29 +64,30 @@ class ResidualBlock(nn.Module):
     planes: int
     norm: str
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         groups = self.planes // 8
         y = nn.Conv(
             self.planes, (3, 3), strides=self.stride, padding=1,
-            kernel_init=kaiming_out, name="conv1",
+            kernel_init=kaiming_out, name="conv1", dtype=self.dtype,
         )(x)
-        y = Norm(self.norm, groups, name="norm1")(y, train)
+        y = Norm(self.norm, groups, dtype=self.dtype, name="norm1")(y, train)
         y = nn.relu(y)
         y = nn.Conv(
             self.planes, (3, 3), padding=1, kernel_init=kaiming_out,
-            name="conv2",
+            name="conv2", dtype=self.dtype,
         )(y)
-        y = Norm(self.norm, groups, name="norm2")(y, train)
+        y = Norm(self.norm, groups, dtype=self.dtype, name="norm2")(y, train)
         y = nn.relu(y)
 
         if self.stride != 1:
             x = nn.Conv(
                 self.planes, (1, 1), strides=self.stride,
-                kernel_init=kaiming_out, name="ds_conv",
+                kernel_init=kaiming_out, name="ds_conv", dtype=self.dtype,
             )(x)
-            x = Norm(self.norm, groups, name="ds_norm")(x, train)
+            x = Norm(self.norm, groups, dtype=self.dtype, name="ds_norm")(x, train)
 
         return nn.relu(x + y)
 
@@ -89,6 +95,7 @@ class ResidualBlock(nn.Module):
 class BasicEncoder(nn.Module):
     output_dim: int = 128
     norm: str = "batch"
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -105,22 +112,25 @@ class BasicEncoder(nn.Module):
 
         x = nn.Conv(
             64, (7, 7), strides=2, padding=3, kernel_init=kaiming_out,
-            name="conv1",
+            name="conv1", dtype=self.dtype,
         )(x)
-        x = Norm(self.norm, num_groups=8, name="norm1")(x, train)
+        x = Norm(self.norm, num_groups=8, dtype=self.dtype, name="norm1")(x, train)
         x = nn.relu(x)
 
         for stage, planes in ((1, 64), (2, 96), (3, 128)):
             stride = 1 if stage == 1 else 2
             x = ResidualBlock(
-                planes, self.norm, stride, name=f"layer{stage}_0"
+                planes, self.norm, stride, dtype=self.dtype,
+                name=f"layer{stage}_0",
             )(x, train)
-            x = ResidualBlock(planes, self.norm, 1, name=f"layer{stage}_1")(
-                x, train
-            )
+            x = ResidualBlock(
+                planes, self.norm, 1, dtype=self.dtype,
+                name=f"layer{stage}_1",
+            )(x, train)
 
         x = nn.Conv(
-            self.output_dim, (1, 1), kernel_init=kaiming_out, name="conv2"
+            self.output_dim, (1, 1), kernel_init=kaiming_out, name="conv2",
+            dtype=self.dtype,
         )(x)
 
         if is_list:

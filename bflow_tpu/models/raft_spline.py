@@ -49,14 +49,15 @@ class RAFTSpline(nn.Module):
 
     def setup(self):
         cfg = self.config
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         if cfg.use_events:
             self.fnet_ev = BasicEncoder(cfg.feature_dim, cfg.feature_norm,
-                                        name="fnet_ev")
+                                        dtype=dt, name="fnet_ev")
         if cfg.use_images:
             self.fnet_img = BasicEncoder(cfg.feature_dim, cfg.feature_norm,
-                                         name="fnet_img")
+                                         dtype=dt, name="fnet_img")
         self.cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim,
-                                 cfg.context_norm, name="cnet")
+                                 cfg.context_norm, dtype=dt, name="cnet")
         self.update_block = BasicUpdateBlock(cfg, name="update_block")
 
     def _gen_voxel_grids(
@@ -96,6 +97,8 @@ class RAFTSpline(nn.Module):
             assert voxel_grid is not None
             corr_grids, context_input = self._gen_voxel_grids(voxel_grid)
             fmaps = self.fnet_ev(corr_grids, train=train)
+            if cfg.corr_precision == "float32":
+                fmaps = [f.astype(jnp.float32) for f in fmaps]
             ref = fmaps[0]
             for f in fmaps[1:]:
                 fmap_refs.append(ref)
@@ -105,6 +108,9 @@ class RAFTSpline(nn.Module):
             assert images is not None and images.shape[0] == 2
             imgs = 2.0 * (images.astype(jnp.float32) / 255.0) - 1.0
             f0, f1 = self.fnet_img([imgs[0], imgs[1]], train=train)
+            if cfg.corr_precision == "float32":
+                f0 = f0.astype(jnp.float32)
+                f1 = f1.astype(jnp.float32)
             fmap_refs.append(f0)
             fmap_tgts.append(f1)
             if context_input is not None:
@@ -143,7 +149,10 @@ class RAFTSpline(nn.Module):
 
             flows = bezier.flow_at(ts)  # (T, N, h1, w1, 2)
             coords1 = coords0[None] + flows
-            corr = corr_lookup(pyramid, coords1, cfg.radius)
+            corr = corr_lookup(
+                pyramid, coords1, cfg.radius,
+                method=cfg.lookup_method, precision=cfg.corr_precision,
+            )
 
             bez_ch = _bezier_to_channels(bezier)
             net, mask, delta = self.update_block(net, inp, corr, bez_ch)

@@ -9,7 +9,7 @@ weights line up channel-for-channel.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -22,13 +22,15 @@ from bflow_tpu.models.extractor import kaiming_out
 class BezierHead(nn.Module):
     bezier_degree: int
     hidden_dim: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Conv(self.hidden_dim, (3, 3), padding=1,
+        x = nn.Conv(self.hidden_dim, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=kaiming_out, name="conv1")(x)
         x = nn.relu(x)
         return nn.Conv(self.bezier_degree * 2, (3, 3), padding=1,
+                       dtype=self.dtype,
                        kernel_init=kaiming_out, name="conv2")(x)
 
 
@@ -36,6 +38,7 @@ class SepConvGRU(nn.Module):
     """Two-pass gated GRU with separable 1x5 / 5x1 convolutions."""
 
     hidden_dim: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
@@ -44,14 +47,14 @@ class SepConvGRU(nn.Module):
         def half(h, x, kernel, pad, suffix):
             hx = jnp.concatenate([h, x], axis=-1)
             z = nn.sigmoid(nn.Conv(d, kernel, padding=pad,
-                                   kernel_init=kaiming_out,
+                                   kernel_init=kaiming_out, dtype=self.dtype,
                                    name=f"convz{suffix}")(hx))
             r = nn.sigmoid(nn.Conv(d, kernel, padding=pad,
-                                   kernel_init=kaiming_out,
+                                   kernel_init=kaiming_out, dtype=self.dtype,
                                    name=f"convr{suffix}")(hx))
             rhx = jnp.concatenate([r * h, x], axis=-1)
             q = nn.tanh(nn.Conv(d, kernel, padding=pad,
-                                kernel_init=kaiming_out,
+                                kernel_init=kaiming_out, dtype=self.dtype,
                                 name=f"convq{suffix}")(rhx))
             return (1.0 - z) * h + z * q
 
@@ -71,21 +74,22 @@ class BasicMotionEncoder(nn.Module):
         bezier_planes = cfg.bezier_degree * 2
         assert bezier.shape[-1] == bezier_planes
 
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         cor = nn.relu(nn.Conv(256, (1, 1), kernel_init=kaiming_out,
-                              name="convc1")(corr))
-        cor = nn.relu(nn.Conv(192, (3, 3), padding=1,
+                              dtype=dt, name="convc1")(corr))
+        cor = nn.relu(nn.Conv(192, (3, 3), padding=1, dtype=dt,
                               kernel_init=kaiming_out, name="convc2")(cor))
-        bez = nn.relu(nn.Conv(128, (7, 7), padding=3,
+        bez = nn.relu(nn.Conv(128, (7, 7), padding=3, dtype=dt,
                               kernel_init=kaiming_out, name="convf1")(bezier))
-        bez = nn.relu(nn.Conv(64, (3, 3), padding=1,
+        bez = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=dt,
                               kernel_init=kaiming_out, name="convf2")(bez))
 
         both = jnp.concatenate([cor, bez], axis=-1)
         out = nn.relu(
             nn.Conv(cfg.motion_dim - bezier_planes, (3, 3), padding=1,
-                    kernel_init=kaiming_out, name="conv")(both)
+                    kernel_init=kaiming_out, dtype=dt, name="conv")(both)
         )
-        return jnp.concatenate([out, bezier], axis=-1)
+        return jnp.concatenate([out, bezier.astype(out.dtype)], axis=-1)
 
 
 class BasicUpdateBlock(nn.Module):
@@ -98,14 +102,17 @@ class BasicUpdateBlock(nn.Module):
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Returns (new hidden state, upsample mask logits, delta bezier)."""
         cfg = self.config
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         motion = BasicMotionEncoder(cfg, name="encoder")(bezier, corr)
-        gru_in = jnp.concatenate([inp, motion], axis=-1)
-        net = SepConvGRU(cfg.hidden_dim, name="gru")(net, gru_in)
-        delta = BezierHead(cfg.bezier_degree, name="bezier_head")(net)
+        gru_in = jnp.concatenate([inp.astype(motion.dtype), motion], axis=-1)
+        net = SepConvGRU(cfg.hidden_dim, dtype=dt, name="gru")(net, gru_in)
+        delta = BezierHead(cfg.bezier_degree, dtype=dt,
+                           name="bezier_head")(net)
 
         m = nn.relu(nn.Conv(256, (3, 3), padding=1, kernel_init=kaiming_out,
-                            name="mask_0")(net))
-        m = nn.Conv(64 * 9, (1, 1), kernel_init=kaiming_out,
+                            dtype=dt, name="mask_0")(net))
+        m = nn.Conv(64 * 9, (1, 1), kernel_init=kaiming_out, dtype=dt,
                     name="mask_2")(m)
-        # gradient-balancing scale, reference update.py:125
-        return net, 0.25 * m, delta
+        # gradient-balancing scale, reference update.py:125; heads emit
+        # float32 so the Bezier state/upsample stay full precision
+        return net, (0.25 * m).astype(jnp.float32), delta.astype(jnp.float32)

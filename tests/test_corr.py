@@ -103,3 +103,46 @@ def test_corr_lookup_matches_reference_contract(rng):
     np.testing.assert_allclose(
         got.transpose(0, 3, 1, 2), want, rtol=1e-4, atol=1e-4
     )
+
+
+def test_onehot_lookup_matches_gather(rng):
+    import jax.numpy as jnp
+
+    from bflow_tpu.models.corr import corr_lookup
+
+    T, N, D = 3, 2, 8
+    h = w = 12
+    levels = [1, 2, 3]
+    radius = 3
+    a = rng.standard_normal((T, N, h, w, D)).astype(np.float32)
+    b = rng.standard_normal((T, N, h, w, D)).astype(np.float32)
+    pyramid = build_corr_pyramid(jnp.asarray(a), jnp.asarray(b), levels)
+    coords = np.stack(
+        [rng.uniform(-3, w + 2, (T, N, h, w)),
+         rng.uniform(-3, h + 2, (T, N, h, w))],
+        axis=-1,
+    ).astype(np.float32)
+
+    ref = np.asarray(
+        corr_lookup(pyramid, jnp.asarray(coords), radius, method="gather")
+    )
+    one = np.asarray(
+        corr_lookup(pyramid, jnp.asarray(coords), radius, method="onehot",
+                    precision="float32")
+    )
+    np.testing.assert_allclose(one, ref, rtol=1e-4, atol=1e-4)
+
+    # integer coords exactly on pixels — no interpolation error at all
+    icoords = np.stack(
+        [rng.integers(0, w, (T, N, h, w)),
+         rng.integers(0, h, (T, N, h, w))],
+        axis=-1,
+    ).astype(np.float32)
+    ref = np.asarray(
+        corr_lookup(pyramid, jnp.asarray(icoords), radius, method="gather")
+    )
+    one = np.asarray(
+        corr_lookup(pyramid, jnp.asarray(icoords), radius, method="onehot",
+                    precision="float32")
+    )
+    np.testing.assert_allclose(one, ref, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,100 @@
+"""Validation entry point.
+
+CLI mirrors the reference (/root/reference/val.py):
+
+  python val.py dataset=multiflow_regen model=raft-spline \
+      dataset.path=<DIR> checkpoint=<CKPT> batch_size=8
+
+`checkpoint` accepts an orbax state directory (ours) or a PyTorch
+Lightning `.ckpt` file (the released reference checkpoints, converted on
+the fly by the importer). Metrics go to ./validation_logs as CSV and are
+printed at the end.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+
+def main(argv=None) -> None:
+    import jax
+    import numpy as np
+
+    from bflow_tpu.confsys import compose
+    from bflow_tpu.data.keys import DataLoading as K
+    from bflow_tpu.data.loader import Loader
+    from bflow_tpu.loggers.csv_logger import CSVLogger
+    from bflow_tpu.models import RAFTSpline
+    from bflow_tpu.train import TaskConfig, make_eval_step
+    from bflow_tpu.train.checkpoint import restore_weights_only
+    from bflow_tpu.utils.metrics import MetricBank
+
+    from train import build_provider, model_config_from, supervision_timestamps
+
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    config_dir = Path(__file__).resolve().parent / "bflow_tpu" / "config"
+    config = compose(config_dir, "val", overrides)
+
+    provider = build_provider(config)
+    if config["model"]["num_bins"].get("correlation") is None:
+        config["model"]["num_bins"]["correlation"] = (
+            provider.get_nbins_correlation()
+        )
+    cfg = model_config_from(config)
+    model = RAFTSpline(cfg)
+
+    dataset_name = config["dataset"]["name"]
+    if dataset_name == "multiflow_regen":
+        val_ds = provider.get_val_dataset()
+        task = TaskConfig(
+            dataset="multiflow2d",
+            supervision_timestamps=supervision_timestamps(val_ds),
+        )
+    else:
+        val_ds = provider.get_val_dataset()
+        task = TaskConfig(dataset="dsec")
+
+    batch_size = int(config["batch_size"])
+    loader = Loader(
+        val_ds,
+        batch_size=batch_size,
+        shuffle=False,
+        num_workers=int(config["hardware"].get("num_workers", 4)),
+        drop_last=True,
+    )
+
+    first = next(iter(loader))
+    variables = jax.jit(
+        lambda v, i: model.init(jax.random.PRNGKey(0), v, i, test_mode=True)
+    )(
+        first[K.EV_REPR.value],
+        first.get(K.IMG.value) if cfg.use_images else None,
+    )
+    variables = restore_weights_only(config["checkpoint"], variables)
+    print(f"loaded checkpoint: {config['checkpoint']}")
+
+    eval_step = jax.jit(make_eval_step(model, task))
+    bank = MetricBank()
+    logger = CSVLogger("./validation_logs", "val_metrics")
+
+    t0 = time.time()
+    n = 0
+    for batch in loader:
+        metrics, _ = eval_step(variables, batch)
+        bank.update(metrics)
+        n += batch[K.EV_REPR.value].shape[0]
+    dt = time.time() - t0
+
+    results = bank.compute()
+    results["fields_per_sec"] = n / dt
+    logger.log(results, 0)
+    logger.finalize()
+    print("== validation results ==")
+    for k, v in sorted(results.items()):
+        print(f"{k}: {v:.4f}")
+
+
+if __name__ == "__main__":
+    main()
