@@ -94,14 +94,10 @@ def restore_weights_only(path: str, template_variables: Dict[str, Any]):
 
         return load_torch_checkpoint(str(p), template_variables)
     ckpt = ocp.StandardCheckpointer()
-    target = {
-        "params": template_variables["params"],
-        "batch_stats": template_variables.get("batch_stats", {}),
-    }
-    # stored as a full TrainState dir; restore just the variable subtrees
-    state = ckpt.restore(p, args=ocp.args.StandardRestore(None))
+    # stored as a full TrainState dir; restore untyped then pick the
+    # variable subtrees (shapes validated by the caller's first apply)
+    state = ckpt.restore(p)
     out = {"params": state["params"]}
-    if "batch_stats" in state and state["batch_stats"]:
+    if state.get("batch_stats"):
         out["batch_stats"] = state["batch_stats"]
-    del target
     return out
