@@ -56,7 +56,7 @@ def main() -> None:
 
     best = 0.0
     best_batch = 1
-    for batch in (1, 2, 4):
+    for batch in (1, 4, 8):
         try:
             voxel, images = make_inputs(batch)
             s = float(forward(variables, voxel, images))  # compile+warmup

@@ -31,6 +31,10 @@ class DsecProvider(DatasetProviderBase):
             "normalize": dataset_params["normalize_voxel_grid"],
             "merge_grids": True,
         }
+        # testing/mini-dataset hooks; defaults are DSEC's 480x640
+        for key in ("height", "width", "crop_hw"):
+            if key in dataset_params:
+                base_args[key] = dataset_params[key]
         train_args = dict(base_args, data_augm=True)
         self._eval_args = dict(base_args, data_augm=False)
 
@@ -57,7 +61,23 @@ class DsecProvider(DatasetProviderBase):
         return ConcatDataset(sequences)
 
     def get_test_dataset(self):
-        return None  # reference TODO parity (provider.py:49-56)
+        """Benchmark-submission loading for `<path>/test/*` (the reference
+        leaves this as a TODO returning None; items carry no GT flow)."""
+        from bflow_tpu.data.dsec.test_sequence import generate_test_sequence
+
+        test_path = self._train_path.parent / "test"
+        if not test_path.is_dir():
+            return None
+        args = dict(self._eval_args)
+        args.pop("data_augm", None)
+        sequences = []
+        for child in sorted(test_path.iterdir()):
+            if not child.is_dir():
+                continue
+            seq = generate_test_sequence(child, args)
+            if seq is not None:
+                sequences.append(seq)
+        return ConcatDataset(sequences) if sequences else None
 
     def get_nbins_context(self) -> int:
         return self.nbins

@@ -44,18 +44,18 @@ def all_pairs_correlation(
     a = fmap_ref.reshape(T, N, h * w, D)
     b = fmap_tgt.reshape(T, N, h * w, D)
     if precision == "bfloat16":
-        a = a.astype(jnp.bfloat16)
+        # fast mode: bf16 operands, f32 MXU accumulation, bf16 output —
+        # halves both the volume write and the per-iteration lookup
+        # streaming without double-rounding the accumulation
+        a = (a / jnp.sqrt(jnp.float32(D))).astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-        prec = None
+        vol = jnp.einsum("tnqd,tnkd->tnqk", a, b,
+                         preferred_element_type=jnp.bfloat16)
     else:
-        prec = jax.lax.Precision.HIGHEST
-    vol = jnp.einsum("tnqd,tnkd->tnqk", a, b, precision=prec,
-                     preferred_element_type=jnp.float32)
-    vol = vol / jnp.sqrt(jnp.float32(D))
-    if precision == "bfloat16":
-        # fast mode keeps the volume in bf16: halves the HBM traffic the
-        # per-iteration lookups stream (accumulation above was f32)
-        vol = vol.astype(jnp.bfloat16)
+        vol = jnp.einsum("tnqd,tnkd->tnqk", a, b,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        vol = vol / jnp.sqrt(jnp.float32(D))
     return vol.reshape(T, N, h, w, h, w)
 
 

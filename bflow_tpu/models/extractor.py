@@ -92,10 +92,76 @@ class ResidualBlock(nn.Module):
         return nn.relu(x + y)
 
 
+class StemConv(nn.Module):
+    """The 7x7/stride-2 stem with a space-to-depth fast path.
+
+    Declares the canonical (7, 7, C, 64) parameters (checkpoint layout
+    unchanged) and either runs the direct strided conv or the exact s2d
+    rewrite below.
+    """
+
+    features: int = 64
+    dtype: Any = None
+    use_s2d: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", kaiming_out, (7, 7, x.shape[-1], self.features)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+        if self.use_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            return _stem_conv_s2d(x, kernel, bias, self.dtype)
+        xd = x if self.dtype is None else x.astype(self.dtype)
+        kd = kernel if self.dtype is None else kernel.astype(self.dtype)
+        bd = bias if self.dtype is None else bias.astype(self.dtype)
+        out = jax.lax.conv_general_dilated(
+            xd, kd, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bd
+
+
+def _stem_conv_s2d(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+                   dtype) -> jax.Array:
+    """7x7/stride-2 stem conv as space-to-depth + 4x4/stride-1 conv.
+
+    Bit-equivalent rewrite (classic TPU ResNet optimization): the strided
+    7x7 conv's input taps, regrouped by parity, form a 4x4 conv over the
+    2x2 space-to-depth transform of the input — larger contraction depth,
+    no strided windows, friendlier MXU tiling. Uses the SAME canonical
+    (7, 7, C, O) parameters, so checkpoints are untouched.
+    """
+    N, H, W, C = x.shape
+    assert H % 2 == 0 and W % 2 == 0
+    xs = x.reshape(N, H // 2, 2, W // 2, 2, C)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(N, H // 2, W // 2, 4 * C)
+
+    O = kernel.shape[-1]
+    # pad taps to 8x8 with a zero row/col in FRONT: tap (kh, kw) lands at
+    # (a, dy) = ((kh+1)//2, (kh+1)%2) and likewise for kw
+    kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    kp = kp.reshape(4, 2, 4, 2, C, O)
+    kp = kp.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * C, O)
+
+    if dtype is not None:
+        xs = xs.astype(dtype)
+        kp = kp.astype(dtype)
+        bias = bias.astype(dtype)
+    out = jax.lax.conv_general_dilated(
+        xs, kp, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + bias
+
+
 class BasicEncoder(nn.Module):
     output_dim: int = 128
     norm: str = "batch"
     dtype: Any = None
+    stem_s2d: bool = True  # space-to-depth stem (exact; TPU-friendlier)
 
     @nn.compact
     def __call__(
@@ -110,9 +176,8 @@ class BasicEncoder(nn.Module):
             parts = len(x)
             x = jnp.concatenate(list(x), axis=0)
 
-        x = nn.Conv(
-            64, (7, 7), strides=2, padding=3, kernel_init=kaiming_out,
-            name="conv1", dtype=self.dtype,
+        x = StemConv(
+            64, dtype=self.dtype, use_s2d=self.stem_s2d, name="conv1"
         )(x)
         x = Norm(self.norm, num_groups=8, dtype=self.dtype, name="norm1")(x, train)
         x = nn.relu(x)

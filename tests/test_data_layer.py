@@ -318,3 +318,37 @@ def test_loader_batching_and_determinism(multiflow_root):
     loader.set_epoch(1)
     other = list(loader)[0]
     assert not np.array_equal(b[K.FLOW.value], other[K.FLOW.value])
+
+
+def test_dsec_test_split_loading(tmp_path, rng):
+    """Test-split items: voxel grids + images, no GT flow."""
+    import shutil
+
+    from bflow_tpu.data.dsec.provider import DsecProvider
+
+    root = tmp_path / "ds"
+    (root / "train").mkdir(parents=True)
+    (root / "test").mkdir()
+    make_dsec_sequence(root / "train", "seq_tr", n_flows=2)
+    # fabricate a test sequence: copy a train seq, drop the GT flow pngs
+    make_dsec_sequence(root / "test", "seq_te", n_flows=3, seed=5)
+    shutil.rmtree(root / "test" / "seq_te" / "flow" / "forward")
+
+    provider = DsecProvider(
+        {
+            "path": str(root),
+            "load_voxel_grid": False,
+            "extended_voxel_grid": True,
+            "normalize_voxel_grid": True,
+            "height": 32,
+            "width": 48,
+        },
+        nbins_context=5,
+    )
+    test_ds = provider.get_test_dataset()
+    assert test_ds is not None and len(test_ds) == 3
+    item = test_ds[1]
+    assert item[K.EV_REPR.value].shape == (32, 48, 9)
+    assert item[K.IMG.value].shape == (2, 32, 48, 3)
+    assert K.FLOW.value not in item
+    assert item[K.FILE_INDEX.value] == 2

@@ -229,3 +229,23 @@ def test_group_norm_parity(rng):
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 3, 1, 2), want, rtol=1e-3, atol=1e-4
     )
+
+
+def test_stem_s2d_exactness(rng):
+    """Space-to-depth stem rewrite must equal the direct 7x7/s2 conv."""
+    import jax.numpy as jnp
+
+    from bflow_tpu.models.extractor import StemConv
+
+    x = jnp.asarray(rng.standard_normal((2, 24, 32, 15)), jnp.float32)
+    direct = StemConv(64, use_s2d=False)
+    s2d = StemConv(64, use_s2d=True)
+    variables = direct.init(jax.random.PRNGKey(1), x)
+    a = np.asarray(direct.apply(variables, x))
+    b = np.asarray(s2d.apply(variables, x))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    # odd spatial dims fall back to the direct conv
+    xo = jnp.asarray(rng.standard_normal((1, 23, 31, 3)), jnp.float32)
+    vo = s2d.init(jax.random.PRNGKey(0), xo)
+    assert s2d.apply(vo, xo).shape == (1, 12, 16, 64)

@@ -59,3 +59,46 @@ def test_csv_logger_evolving_fields(tmp_path):
     assert "a" in text and "b" in text and "step" in text
     lines = [l for l in text.strip().splitlines() if l]
     assert len(lines) == 3  # header + 2 rows
+
+
+def test_flow_colorwheel_properties(rng):
+    from bflow_tpu.callbacks.flow_vis import flow_to_color, make_colorwheel
+
+    wheel = make_colorwheel()
+    assert wheel.shape == (55, 3)
+    assert wheel.min() >= 0 and wheel.max() <= 255
+
+    flow = rng.standard_normal((16, 16, 2)).astype(np.float32) * 5
+    img = flow_to_color(flow)
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    # zero flow renders near-white (center of the wheel)
+    img0 = flow_to_color(np.zeros((4, 4, 2), np.float32), rad_max=1.0)
+    assert img0.min() > 230
+
+
+def test_visualization_renderers(rng):
+    from bflow_tpu.callbacks.visualization import (
+        bezier_trajectory_figure,
+        figure_to_array,
+        render_error_map,
+        render_event_representation,
+        summary_image,
+    )
+
+    ev = rng.standard_normal((24, 32)).astype(np.float32)
+    img = render_event_representation(ev)
+    assert img.shape == (24, 32, 3) and img.dtype == np.uint8
+
+    pred = rng.standard_normal((24, 32, 2)).astype(np.float32)
+    gt = rng.standard_normal((24, 32, 2)).astype(np.float32)
+    err = render_error_map(pred, gt, clip=3.0)
+    assert err.shape == (24, 32, 3)
+
+    strip = summary_image(pred, gt, None, ev, None)
+    assert strip.shape == (24, 4 * 32, 3)
+
+    fig = bezier_trajectory_figure(
+        rng.standard_normal((24, 32, 2, 2)).astype(np.float32), n_points=2
+    )
+    arr = figure_to_array(fig)
+    assert arr.ndim == 3 and arr.shape[-1] == 3
