@@ -146,3 +146,43 @@ def test_onehot_lookup_matches_gather(rng):
                     precision="float32")
     )
     np.testing.assert_allclose(one, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_lookup_custom_vjp_matches_gather(rng):
+    """Training path: pallas lookup gradients == gather-formulation VJP."""
+    import jax
+    import jax.numpy as jnp
+
+    from bflow_tpu.models.corr import _lookup_level_gather
+    from bflow_tpu.ops.pallas.corr_lookup import lookup_level_pallas
+
+    T, N, D, h, w, r = 2, 1, 8, 16, 14, 4
+    a = rng.standard_normal((T, N, h, w, D)).astype(np.float32)
+    b = rng.standard_normal((T, N, h, w, D)).astype(np.float32)
+    pyr = build_corr_pyramid(jnp.asarray(a), jnp.asarray(b), [1, 2])
+    _, vol = pyr[0]
+    coords = jnp.asarray(
+        np.stack(
+            [rng.uniform(-9, w + 8, (T, N, h, w)),
+             rng.uniform(-9, h + 8, (T, N, h, w))],
+            -1,
+        ).astype(np.float32)
+    )
+    gvec = jnp.asarray(
+        rng.standard_normal((T, N, h, w, (2 * r + 1) ** 2)), jnp.float32
+    )
+
+    def f_ref(v, c):
+        return (_lookup_level_gather(v, c, r) * gvec).sum()
+
+    def f_pal(v, c):
+        return (lookup_level_pallas(v, c, r, True) * gvec).sum()
+
+    dv_r, dc_r = jax.grad(f_ref, argnums=(0, 1))(vol, coords)
+    dv_p, dc_p = jax.grad(f_pal, argnums=(0, 1))(vol, coords)
+    np.testing.assert_allclose(
+        np.asarray(dv_p), np.asarray(dv_r), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(dc_p), np.asarray(dc_r), rtol=1e-4, atol=2e-4
+    )

@@ -119,3 +119,55 @@ def test_media_logger_renders(tmp_path, rng):
 
     ml.on_validation_batch(1, 0, batch, pred)
     assert "val/summary_0" in captured
+
+
+@pytest.fixture(scope="module")
+def mini_multiflow(tmp_path_factory):
+    from fixtures import make_multiflow_sample
+
+    root = tmp_path_factory.mktemp("mf_cli")
+    for split in ("train", "val"):
+        d = root / split
+        d.mkdir()
+        # native MultiFlow resolution so the default pipeline runs as-is
+        make_multiflow_sample(d, "seq_0001", height=384, width=512,
+                              num_bins_context=6, seed=1)
+    return root
+
+
+def test_multiflow_train_cli(mini_multiflow, tmp_path):
+    import train as train_entry
+
+    out_dir = tmp_path / "runs"
+    overrides = [
+        "dataset=multiflow_regen",
+        "model=raft-spline",
+        f"dataset.path={mini_multiflow}",
+        "wandb.group_name=mfsmoke",
+        "+experiment/multiflow/raft_spline=E_I_LU5_BD10_lowpyramid",
+        # shrink: 6 context bins instead of 41, degree 2, 1 iter
+        "model.num_bins.context=6",
+        "model.num_bins.correlation=4",
+        "model.bezier_degree=2",
+        "model.correlation.ev.target_indices=[1,3,5]",
+        "model.correlation.ev.levels=[1,1,2]",
+        "model.num_iter.train=1",
+        "model.num_iter.test=1",
+        "training.batch_size=1",
+        "training.max_steps=1",
+        "training.max_epochs=1",
+        "training.limit_train_batches=1",
+        "training.limit_val_batches=1",
+        "dataset.flow_every_n_ms=100",
+        "logging.log_every_n_steps=1",
+        f"logging.out_dir={out_dir}",
+        "hardware.devices=1",
+        "hardware.num_workers=2",
+        "dataset.load_voxel_grid=false",
+    ]
+    train_entry.main(overrides)
+
+    run_dir = out_dir / "mfsmoke_multiflow_regen"
+    csv = (run_dir / "train_metrics.csv").read_text()
+    assert "train/l1_multi_seq_loss" in csv
+    assert "val/epe_multi" in csv  # epoch validation ran
