@@ -1,0 +1,88 @@
+"""Grain-based input pipeline (multiprocess workers, checkpointable).
+
+Alternative to the in-repo threaded Loader (bflow_tpu/data/loader.py):
+Grain gives worker *processes* (bypassing the GIL for the Python-heavy
+parts of augmentation), deterministic global shuffling, per-record RNG
+derived from (seed, epoch, index), multi-host sharding via
+`ShardByJaxProcess`, and iterator checkpointing.
+
+Our map-style datasets plug in directly as RandomAccessDataSources; a
+RandomMapTransform routes Grain's per-record RNG into `get_item` so
+augmentation stays reproducible, and the same collation as the threaded
+loader produces NHWC batches (IMG/multi-timestamp-FLOW keep their
+leading stack axes).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from bflow_tpu.data.keys import DataLoading as K
+
+
+def make_grain_loader(
+    dataset,
+    batch_size: int,
+    shuffle: bool = False,
+    num_workers: int = 4,
+    seed: int = 0,
+    num_epochs: Optional[int] = None,
+    drop_remainder: bool = True,
+    shard_by_process: bool = True,
+):
+    """Returns an iterable of collated NHWC batch dicts."""
+    import grain.python as gp
+
+    class _Source:
+        def __len__(self):
+            return len(dataset)
+
+        def __getitem__(self, index: int):
+            return index  # records are indices; the map stage loads
+
+    class _Load(gp.RandomMapTransform):
+        def random_map(self, index, rng: np.random.Generator):
+            get_item = getattr(dataset, "get_item", None)
+            if get_item is not None:
+                return get_item(int(index), rng)
+            return dataset[int(index)]
+
+    class _FixAxes(gp.MapTransform):
+        """Grain's Batch stacks every leaf at axis 0; restore the batch
+        conventions (IMG keeps its 2-frame stack leading, MultiFlow FLOW
+        keeps its timestamp stack leading)."""
+
+        def map(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+            out = dict(batch)
+            img = out.get(K.IMG.value)
+            if img is not None and img.ndim >= 5:
+                out[K.IMG.value] = np.moveaxis(img, 0, 1)
+            flow = out.get(K.FLOW.value)
+            if flow is not None and flow.ndim == 5:
+                out[K.FLOW.value] = np.moveaxis(flow, 0, 1)
+            return out
+
+    shard = (
+        gp.ShardByJaxProcess(drop_remainder=True)
+        if shard_by_process
+        else gp.NoSharding()
+    )
+    sampler = gp.IndexSampler(
+        num_records=len(dataset),
+        shuffle=shuffle,
+        seed=seed,
+        num_epochs=num_epochs if num_epochs is not None else 1,
+        shard_options=shard,
+    )
+    return gp.DataLoader(
+        data_source=_Source(),
+        sampler=sampler,
+        operations=[
+            _Load(),
+            gp.Batch(batch_size=batch_size, drop_remainder=drop_remainder),
+            _FixAxes(),
+        ],
+        worker_count=num_workers,
+    )

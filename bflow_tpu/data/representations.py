@@ -6,8 +6,8 @@ pixel coordinates, trilinear x-y-t scatter for float (rectified)
 coordinates, polarity mapped to +/-1 — but the numba-JIT scatter loop is
 replaced by `np.add.at` over precomputed corner index/weight arrays.
 
-The on-device counterpart (same math, Pallas TPU kernel over padded event
-tensors) lives in bflow_tpu/ops/pallas/voxelize.py; this host version is
+The on-device counterpart (same math, jittable segment-sum over padded
+event tensors) lives in bflow_tpu/ops/voxelize.py; this host version is
 the cache-builder and the oracle for it.
 
 Grids are built (C, H, W) — the reference's disk-cache layout, which we

@@ -352,3 +352,39 @@ def test_dsec_test_split_loading(tmp_path, rng):
     assert item[K.IMG.value].shape == (2, 32, 48, 3)
     assert K.FLOW.value not in item
     assert item[K.FILE_INDEX.value] == 2
+
+
+def test_grain_loader(multiflow_root):
+    """Grain pipeline yields the same batch structure as the threaded
+    Loader, deterministically."""
+    from bflow_tpu.data.grain_loader import make_grain_loader
+    from bflow_tpu.data.multiflow2d.datasubset import Datasubset
+
+    ds = Datasubset(
+        multiflow_root / "train",
+        data_augm=True,
+        num_bins_context=6,
+        flow_every_n_ms=100,
+        load_voxel_grid=False,
+        normalize_voxel_grid_=False,
+        orig_hw=(32, 48),
+        crop_hw=(16, 24),
+    )
+    loader = make_grain_loader(
+        ds, batch_size=2, shuffle=True, num_workers=0, seed=11,
+        shard_by_process=False,
+    )
+    batches = list(loader)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b[K.EV_REPR.value].shape == (2, 16, 24, 9)
+    assert b[K.IMG.value].shape == (2, 2, 16, 24, 3)
+    assert b[K.FLOW.value].shape == (5, 2, 16, 24, 2)
+
+    again = list(make_grain_loader(
+        ds, batch_size=2, shuffle=True, num_workers=0, seed=11,
+        shard_by_process=False,
+    ))[0]
+    np.testing.assert_array_equal(
+        b[K.EV_REPR.value], again[K.EV_REPR.value]
+    )

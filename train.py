@@ -173,6 +173,18 @@ def main(argv=None) -> None:
     train_step = jax.jit(make_train_step(model, task, tx), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, task))
 
+    from bflow_tpu.callbacks.logger import MediaLogger
+
+    media = MediaLogger(
+        wb,
+        task.dataset,
+        every_n_steps=int(config["logging"].get("log_every_n_steps", 5000)),
+        n_val_predictions=int(
+            config["logging"].get("log_n_val_predictions", 2)
+        ),
+        enabled=not config["logging"].get("only_numbers", False),
+    )
+
     max_steps = int(train_cfg["max_steps"])
     max_epochs = int(train_cfg["max_epochs"])
     log_every = int(config["logging"].get("log_every_n_steps", 1000))
@@ -221,6 +233,13 @@ def main(argv=None) -> None:
                         )
                     )
                     bank.reset()
+                    if media.enabled:
+                        with mesh:
+                            _, pred = eval_step(state.variables, batch)
+                        media.on_train_batch(
+                            step, jax.device_get(batch),
+                            jax.device_get(pred),
+                        )
 
             # validation (MultiFlow; DSEC has none — reference parity)
             epoch_metrics = {"step": float(step)}
@@ -242,8 +261,12 @@ def main(argv=None) -> None:
                         break
                     vbatch = shard_batch(vbatch, mesh)
                     with mesh:
-                        vmetrics, _ = eval_step(state.variables, vbatch)
+                        vmetrics, vpred = eval_step(state.variables, vbatch)
                     val_bank.update(vmetrics)
+                    media.on_validation_batch(
+                        step, v_idx, jax.device_get(vbatch),
+                        jax.device_get(vpred),
+                    )
                 vvals = val_bank.compute()
                 epoch_metrics.update(vvals)
                 csv_logger.log(vvals, step)
