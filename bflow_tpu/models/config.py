@@ -61,6 +61,10 @@ class RaftSplineConfig:
     # activation compute dtype for convolutions/GRU ("float32" parity /
     # "bfloat16" fast inference+training). Parameters stay float32.
     compute_dtype: str = "float32"
+    # rematerialize the update block in the backward pass: trades ~15%
+    # compute for O(iters) activation memory — the TPU-native replacement
+    # for the reference's memory-motivated detach_bezier workaround
+    remat_updates: bool = False
 
     def __post_init__(self):
         assert self.nbins_context > 0 and self.nbins_correlation > 0

@@ -26,6 +26,13 @@ import jax.numpy as jnp
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
+def conv_precision(dtype):
+    """f32 (parity) mode pins convs to HIGHEST — TPU's default conv
+    precision is bf16-pass, which would silently break checkpoint-parity
+    evaluation. bf16 fast mode keeps the single pass."""
+    return jax.lax.Precision.HIGHEST if dtype is None else None
+
+
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """InstanceNorm2d with torch defaults (no affine, no running stats):
     per-sample, per-channel normalization over the spatial axes."""
@@ -72,12 +79,14 @@ class ResidualBlock(nn.Module):
         y = nn.Conv(
             self.planes, (3, 3), strides=self.stride, padding=1,
             kernel_init=kaiming_out, name="conv1", dtype=self.dtype,
+            precision=conv_precision(self.dtype),
         )(x)
         y = Norm(self.norm, groups, dtype=self.dtype, name="norm1")(y, train)
         y = nn.relu(y)
         y = nn.Conv(
             self.planes, (3, 3), padding=1, kernel_init=kaiming_out,
             name="conv2", dtype=self.dtype,
+            precision=conv_precision(self.dtype),
         )(y)
         y = Norm(self.norm, groups, dtype=self.dtype, name="norm2")(y, train)
         y = nn.relu(y)
@@ -86,6 +95,7 @@ class ResidualBlock(nn.Module):
             x = nn.Conv(
                 self.planes, (1, 1), strides=self.stride,
                 kernel_init=kaiming_out, name="ds_conv", dtype=self.dtype,
+                precision=conv_precision(self.dtype),
             )(x)
             x = Norm(self.norm, groups, dtype=self.dtype, name="ds_norm")(x, train)
 
@@ -120,6 +130,7 @@ class StemConv(nn.Module):
         out = jax.lax.conv_general_dilated(
             xd, kd, (2, 2), ((3, 3), (3, 3)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=conv_precision(self.dtype),
         )
         return out + bd
 
@@ -153,6 +164,7 @@ def _stem_conv_s2d(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     out = jax.lax.conv_general_dilated(
         xs, kp, window_strides=(1, 1), padding=((2, 1), (2, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=conv_precision(dtype),
     )
     return out + bias
 
@@ -195,7 +207,7 @@ class BasicEncoder(nn.Module):
 
         x = nn.Conv(
             self.output_dim, (1, 1), kernel_init=kaiming_out, name="conv2",
-            dtype=self.dtype,
+            dtype=self.dtype, precision=conv_precision(self.dtype),
         )(x)
 
         if is_list:

@@ -58,7 +58,12 @@ class RAFTSpline(nn.Module):
                                          dtype=dt, name="fnet_img")
         self.cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim,
                                  cfg.context_norm, dtype=dt, name="cnet")
-        self.update_block = BasicUpdateBlock(cfg, name="update_block")
+        block_cls = (
+            nn.checkpoint(BasicUpdateBlock)
+            if cfg.remat_updates
+            else BasicUpdateBlock
+        )
+        self.update_block = block_cls(cfg, name="update_block")
 
     def _gen_voxel_grids(
         self, voxel_grid: jax.Array

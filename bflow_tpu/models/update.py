@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from bflow_tpu.models.config import RaftSplineConfig
-from bflow_tpu.models.extractor import kaiming_out
+from bflow_tpu.models.extractor import conv_precision, kaiming_out
 
 
 class BezierHead(nn.Module):
@@ -26,11 +26,13 @@ class BezierHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        prec = conv_precision(self.dtype)
         x = nn.Conv(self.hidden_dim, (3, 3), padding=1, dtype=self.dtype,
+                    precision=prec,
                     kernel_init=kaiming_out, name="conv1")(x)
         x = nn.relu(x)
         return nn.Conv(self.bezier_degree * 2, (3, 3), padding=1,
-                       dtype=self.dtype,
+                       dtype=self.dtype, precision=prec,
                        kernel_init=kaiming_out, name="conv2")(x)
 
 
@@ -56,6 +58,7 @@ def _conv(x, kernel, bias, pad, dtype):
     out = jax.lax.conv_general_dilated(
         x, kernel, (1, 1), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=conv_precision(dtype),
     )
     return out + bias
 
@@ -127,19 +130,25 @@ class BasicMotionEncoder(nn.Module):
         assert bezier.shape[-1] == bezier_planes
 
         dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        prec = conv_precision(dt)
         cor = nn.relu(nn.Conv(256, (1, 1), kernel_init=kaiming_out,
-                              dtype=dt, name="convc1")(corr))
+                              dtype=dt, precision=prec,
+                              name="convc1")(corr))
         cor = nn.relu(nn.Conv(192, (3, 3), padding=1, dtype=dt,
+                              precision=prec,
                               kernel_init=kaiming_out, name="convc2")(cor))
         bez = nn.relu(nn.Conv(128, (7, 7), padding=3, dtype=dt,
+                              precision=prec,
                               kernel_init=kaiming_out, name="convf1")(bezier))
         bez = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=dt,
+                              precision=prec,
                               kernel_init=kaiming_out, name="convf2")(bez))
 
         both = jnp.concatenate([cor, bez], axis=-1)
         out = nn.relu(
             nn.Conv(cfg.motion_dim - bezier_planes, (3, 3), padding=1,
-                    kernel_init=kaiming_out, dtype=dt, name="conv")(both)
+                    kernel_init=kaiming_out, dtype=dt, precision=prec,
+                    name="conv")(both)
         )
         return jnp.concatenate([out, bezier.astype(out.dtype)], axis=-1)
 
@@ -161,10 +170,11 @@ class BasicUpdateBlock(nn.Module):
         delta = BezierHead(cfg.bezier_degree, dtype=dt,
                            name="bezier_head")(net)
 
+        prec = conv_precision(dt)
         m = nn.relu(nn.Conv(256, (3, 3), padding=1, kernel_init=kaiming_out,
-                            dtype=dt, name="mask_0")(net))
+                            dtype=dt, precision=prec, name="mask_0")(net))
         m = nn.Conv(64 * 9, (1, 1), kernel_init=kaiming_out, dtype=dt,
-                    name="mask_2")(m)
+                    precision=prec, name="mask_2")(m)
         # gradient-balancing scale, reference update.py:125; heads emit
         # float32 so the Bezier state/upsample stay full precision
         return net, (0.25 * m).astype(jnp.float32), delta.astype(jnp.float32)

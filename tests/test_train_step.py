@@ -155,3 +155,32 @@ def test_data_parallel_step_on_8_devices(dsec_setup):
         float(metrics1["train/l1_seq_loss"][0]),
         rtol=2e-4,
     )
+
+
+def test_remat_updates_matches_plain(rng):
+    """remat_updates must not change values or gradients, only memory."""
+    import dataclasses
+
+    base = dataclasses.replace(SMALL, use_images=False, iters_train=2)
+    remat = dataclasses.replace(base, remat_updates=True)
+    n, h, w = 1, 32, 32
+    vox = jnp.asarray(
+        rng.standard_normal((n, h, w, base.nbins_total)), jnp.float32
+    )
+    m0, m1 = RAFTSpline(base), RAFTSpline(remat)
+    variables = m0.init(jax.random.PRNGKey(0), vox, None)
+
+    def loss(model, params):
+        v = {"params": params, "batch_stats": variables["batch_stats"]}
+        preds, _ = model.apply(v, vox, None, train=True,
+                               mutable=["batch_stats"])
+        return preds[-1].flow_at(1.0).sum()
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(variables["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(variables["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
