@@ -223,9 +223,6 @@ def main(argv=None) -> None:
                     vals["steps_per_sec"] = step / (time.time() - t_start)
                     csv_logger.log(vals, step)
                     wb.log(vals, step)
-                    loss_key = next(
-                        (k for k in vals if "loss" in k), None
-                    )
                     print(
                         f"step {step}: "
                         + ", ".join(
