@@ -171,3 +171,39 @@ def test_multiflow_train_cli(mini_multiflow, tmp_path):
     csv = (run_dir / "train_metrics.csv").read_text()
     assert "train/l1_multi_seq_loss" in csv
     assert "val/epe_multi" in csv  # epoch validation ran
+
+
+def test_val_cli_with_torch_checkpoint(mini_dsec, tmp_path):
+    """val.py consumes a PyTorch Lightning .ckpt (the released-checkpoint
+    format) end-to-end: torch.load -> key map -> conversion -> inference."""
+    import torch
+
+    import val as val_entry
+    from test_importer import reference_state_dict
+    from bflow_tpu.models import RaftSplineConfig
+
+    cfg = RaftSplineConfig(
+        nbins_context=5, nbins_correlation=5, bezier_degree=2,
+        ev_target_indices=(1, 2, 3, 4), ev_levels=(1, 1, 1, 4),
+        use_images=True, iters_test=2,
+    )
+    sd = {k: torch.from_numpy(np.asarray(v)) if np.asarray(v).ndim else
+          torch.tensor(v) for k, v in reference_state_dict(cfg).items()}
+    ckpt_path = tmp_path / "released_style.ckpt"
+    torch.save({"state_dict": sd, "epoch": 3}, str(ckpt_path))
+
+    val_entry.main([
+        "dataset=dsec",
+        "model=raft-spline",
+        f"dataset.path={mini_dsec}",
+        f"checkpoint={ckpt_path}",
+        "model.num_bins.context=5",
+        "model.num_iter.test=2",
+        "batch_size=1",
+        "hardware.num_workers=2",
+        "dataset.load_voxel_grid=false",
+        "model.use_boundary_images=true",
+        "model.correlation.ev.levels=[1,1,1,4]",
+    ])
+    out = Path("./validation_logs/val_metrics.csv").read_text()
+    assert "val/epe" in out
