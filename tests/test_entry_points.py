@@ -207,3 +207,46 @@ def test_val_cli_with_torch_checkpoint(mini_dsec, tmp_path):
     ])
     out = Path("./validation_logs/val_metrics.csv").read_text()
     assert "val/epe" in out
+
+
+def test_predict_dsec_script(mini_dsec, tmp_path):
+    """Submission-format prediction over the (fallback) train split."""
+    import sys as _sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import predict_dsec
+
+    import train as train_entry
+
+    # quick checkpoint to consume
+    out_dir = tmp_path / "runs"
+    train_entry.main([
+        "dataset=dsec", "model=raft-spline", f"dataset.path={mini_dsec}",
+        "wandb.group_name=pred", "model.num_bins.context=5",
+        "model.num_iter.train=1", "model.num_iter.test=1",
+        "training.batch_size=1", "training.max_steps=1",
+        "training.max_epochs=1", "training.limit_train_batches=1",
+        f"logging.out_dir={out_dir}", "hardware.devices=1",
+        "hardware.num_workers=2", "dataset.load_voxel_grid=false",
+        "model.use_boundary_images=true",
+        "model.correlation.ev.levels=[1,1,1,4]",
+    ])
+
+    sub_dir = tmp_path / "submission"
+    predict_dsec.main([
+        f"dataset.path={mini_dsec}",
+        f"checkpoint={out_dir / 'pred_dsec' / 'ckpt' / 'last'}",
+        f"output_dir={sub_dir}",
+        "model.num_bins.context=5",
+        "model.num_iter.test=1",
+        "dataset.load_voxel_grid=false",
+        "model.use_boundary_images=true",
+        "model.correlation.ev.levels=[1,1,1,4]",
+    ])
+    pngs = sorted(sub_dir.glob("*.png"))
+    assert len(pngs) == 3  # mini_dsec has 3 flow windows
+    from bflow_tpu.data.io import load_flow_png
+
+    flow, valid = load_flow_png(pngs[0])
+    assert flow.shape == (480, 640, 2)
+    assert valid.all()
