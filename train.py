@@ -103,8 +103,10 @@ def main(argv=None) -> None:
     n_devices = config["hardware"].get("devices") or len(jax.devices())
     mesh = make_mesh(n_devices=n_devices)
     batch_size = int(train_cfg["batch_size"])
-    assert batch_size % n_devices == 0 or n_devices == 1 or batch_size < n_devices, (
-        f"batch_size {batch_size} not spreadable over {n_devices} devices"
+    assert batch_size % n_devices == 0, (
+        f"training.batch_size={batch_size} must be divisible by the mesh "
+        f"size ({n_devices}); set hardware.devices or the batch size "
+        f"accordingly"
     )
 
     train_ds = provider.get_train_dataset()

@@ -57,12 +57,13 @@ def main(argv=None) -> None:
         task = TaskConfig(dataset="dsec")
 
     batch_size = int(config["batch_size"])
+    # keep every sample: the tail batch compiles one extra graph
     loader = Loader(
         val_ds,
         batch_size=batch_size,
         shuffle=False,
         num_workers=int(config["hardware"].get("num_workers", 4)),
-        drop_last=True,
+        drop_last=False,
     )
 
     first = next(iter(loader))
