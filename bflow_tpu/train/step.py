@@ -105,7 +105,12 @@ def make_train_step(model: RAFTSpline, task: TaskConfig, tx):
 
         return loss, (mutated.get("batch_stats", {}), metrics)
 
-    def train_step(state: TrainState, batch):
+    def train_step(state: TrainState, batch, metric_acc=None):
+        """One fused step. When `metric_acc` (from `init_metric_acc`) is
+        given, per-metric (weighted sum, weight) accumulate ON DEVICE and
+        are returned in its place — the host loop then reads metrics back
+        only at logging cadence instead of synchronizing every step
+        (a per-step readback serializes the dispatch pipeline)."""
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_bs, metrics)), grads = grad_fn(
             state.params, state.batch_stats, batch
@@ -118,9 +123,40 @@ def make_train_step(model: RAFTSpline, task: TaskConfig, tx):
             batch_stats=new_bs,
             opt_state=new_opt,
         )
-        return new_state, metrics
+        if metric_acc is None:
+            return new_state, metrics
+        new_acc = {
+            k: (
+                metric_acc[k][0] + metrics[k][0] * metrics[k][1],
+                metric_acc[k][1] + metrics[k][1],
+            )
+            for k in metrics
+        }
+        return new_state, new_acc
 
     return train_step
+
+
+def init_metric_acc(metrics_template) -> Dict[str, Tuple]:
+    """Zeroed on-device accumulator matching a step's metrics dict."""
+    import numpy as np
+
+    return {
+        k: (jnp.float32(0.0), jnp.float32(0.0)) for k in metrics_template
+    }
+
+
+def metric_acc_means(metric_acc) -> Dict[str, float]:
+    """One batched host readback -> mean per metric (skips empty)."""
+    import numpy as np
+
+    host = jax.device_get(metric_acc)
+    out = {}
+    for k, (total, weight) in host.items():
+        w = float(np.asarray(weight))
+        if w > 0:
+            out[k] = float(np.asarray(total)) / w
+    return out
 
 
 def make_eval_step(model: RAFTSpline, task: TaskConfig):

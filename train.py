@@ -77,6 +77,7 @@ def main(argv=None) -> None:
         make_eval_step,
         make_train_step,
     )
+    from bflow_tpu.train.step import init_metric_acc, metric_acc_means
     from bflow_tpu.train.checkpoint import (
         CheckpointManager,
         restore_weights_only,
@@ -198,7 +199,7 @@ def main(argv=None) -> None:
         profiler_dir = str(run_dir / "profile")
         jax.profiler.start_trace(profiler_dir)
 
-    bank = MetricBank()
+    metric_acc = None  # device-side accumulator, created from step 1
     step = int(state.step)
     t_start = time.time()
     print(f"training: {n_devices} device(s), batch {batch_size}, "
@@ -212,11 +213,22 @@ def main(argv=None) -> None:
                     break
                 batch = shard_batch(batch, mesh)
                 with mesh:
-                    state, metrics = train_step(state, batch)
+                    if metric_acc is None:
+                        # first step returns raw metrics; seed the
+                        # on-device accumulator from them
+                        state, metrics = train_step(state, batch)
+                        metric_acc = {
+                            k: (metrics[k][0] * metrics[k][1],
+                                metrics[k][1])
+                            for k in metrics
+                        }
+                    else:
+                        state, metric_acc = train_step(
+                            state, batch, metric_acc
+                        )
                 step += 1
-                bank.update(metrics)
                 if step % log_every == 0 or step == 1:
-                    vals = bank.compute()
+                    vals = metric_acc_means(metric_acc)
                     vals["learning_rate"] = (
                         float(schedule(step))
                         if callable(schedule)
@@ -231,7 +243,7 @@ def main(argv=None) -> None:
                             f"{k}={v:.4f}" for k, v in sorted(vals.items())
                         )
                     )
-                    bank.reset()
+                    metric_acc = init_metric_acc(metric_acc)
                     if media.enabled:
                         with mesh:
                             _, pred = eval_step(state.variables, batch)
