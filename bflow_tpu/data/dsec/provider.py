@@ -60,23 +60,28 @@ class DsecProvider(DatasetProviderBase):
                 sequences.append(seq)
         return ConcatDataset(sequences)
 
-    def get_test_dataset(self):
-        """Benchmark-submission loading for `<path>/test/*` (the reference
-        leaves this as a TODO returning None; items carry no GT flow)."""
+    def iter_test_sequences(self):
+        """Yield (sequence_name, dataset) per `<path>/test/*` recording —
+        file indices restart per sequence, so submission writers must
+        keep sequences separate."""
         from bflow_tpu.data.dsec.test_sequence import generate_test_sequence
 
         test_path = self._train_path.parent / "test"
         if not test_path.is_dir():
-            return None
+            return
         args = dict(self._eval_args)
         args.pop("data_augm", None)
-        sequences = []
         for child in sorted(test_path.iterdir()):
             if not child.is_dir():
                 continue
             seq = generate_test_sequence(child, args)
             if seq is not None:
-                sequences.append(seq)
+                yield child.name, seq
+
+    def get_test_dataset(self):
+        """Benchmark-submission loading for `<path>/test/*` (the reference
+        leaves this as a TODO returning None; items carry no GT flow)."""
+        sequences = [seq for _, seq in self.iter_test_sequences()]
         return ConcatDataset(sequences) if sequences else None
 
     def get_nbins_context(self) -> int:

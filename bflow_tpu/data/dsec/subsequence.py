@@ -165,13 +165,10 @@ class TwoStepSubSequence:
         # direct indexing falls back to an unseeded one.
         return self.get_item(index, np.random.default_rng())
 
-    def get_item(self, index: int, rng: np.random.Generator):
-        flow_path = self.forward_flow_list[index]
-        flow_file_index = int(flow_path.stem)
-        flow_hw2, valid = load_flow_png(flow_path)
-        flow = np.moveaxis(flow_hw2, -1, 0)  # (2, H, W)
-
-        # current + previous 100 ms windows (synthesize t-1 at seq start)
+    def _merged_grid(self, index: int, flow_file_index: int):
+        """The item's event representation: previous + current 100 ms
+        windows (the t-1 window is synthesized at sequence starts),
+        merged along time with the duplicated boundary bin dropped."""
         grids = []
         ts_from = ts_to = None
         for idx in (index, index - 1):
@@ -186,13 +183,6 @@ class TwoStepSubSequence:
             grids.append(self._get_voxel_grid(int(ts_from), int(ts_to), file_index))
         grids.reverse()  # [previous, current]
 
-        images = None
-        img_ref = self._get_image(flow_file_index)
-        if img_ref is not None:
-            img_tgt = self._get_image(flow_file_index + 2)
-            assert img_tgt is not None
-            images = [img_ref, img_tgt]
-
         if self.merge_grids:
             prev, cur = grids
             boundary_gap = np.abs(prev[-1] - cur[0]).max()
@@ -200,10 +190,27 @@ class TwoStepSubSequence:
             ev = np.concatenate([prev, cur[1:]], axis=0)  # (2*bins-1, H, W)
             if self.normalize:
                 ev = normalize_voxel_grid(ev)
-        else:
-            if self.normalize:
-                grids = [normalize_voxel_grid(g) for g in grids]
-            ev = np.stack(grids)
+            return ev
+        if self.normalize:
+            grids = [normalize_voxel_grid(g) for g in grids]
+        return np.stack(grids)
+
+    def _boundary_images(self, flow_file_index: int):
+        img_ref = self._get_image(flow_file_index)
+        if img_ref is None:
+            return None
+        img_tgt = self._get_image(flow_file_index + 2)
+        assert img_tgt is not None
+        return [img_ref, img_tgt]
+
+    def get_item(self, index: int, rng: np.random.Generator):
+        flow_path = self.forward_flow_list[index]
+        flow_file_index = int(flow_path.stem)
+        flow_hw2, valid = load_flow_png(flow_path)
+        flow = np.moveaxis(flow_hw2, -1, 0)  # (2, H, W)
+
+        ev = self._merged_grid(index, flow_file_index)
+        images = self._boundary_images(flow_file_index)
 
         if self.augmentor is not None:
             evs, flows, valids, imgs = self.augmentor(

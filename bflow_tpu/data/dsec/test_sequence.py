@@ -41,39 +41,18 @@ class TestSubSequence(TwoStepSubSequence):
 
     def get_item(self, index: int, rng: np.random.Generator) -> Dict:
         file_index = self._file_indices[index]
-
-        grids = []
-        ts_from = ts_to = None
-        for idx in (index, index - 1):
-            if 0 <= idx < len(self):
-                ts_from, ts_to = self.forward_flow_timestamps[idx]
-            else:
-                dt = ts_to - ts_from
-                ts_to = ts_from
-                ts_from = ts_from - dt
-            fi = file_index if idx == index else file_index - 2
-            grids.append(self._get_voxel_grid(int(ts_from), int(ts_to), fi))
-        grids.reverse()
-
-        prev, cur = grids
-        ev = np.concatenate([prev, cur[1:]], axis=0)
-        if self.normalize:
-            from bflow_tpu.data.representations import normalize_voxel_grid
-
-            ev = normalize_voxel_grid(ev)
+        ev = self._merged_grid(index, file_index)
 
         out = {
             K.FILE_INDEX.value: file_index,
             K.EV_REPR.value: np.moveaxis(ev, 0, -1).astype(np.float32),
             K.DATASET_TYPE.value: int(DataSetType.DSEC),
         }
-        img_ref = self._get_image(file_index)
-        if img_ref is not None:
-            img_tgt = self._get_image(file_index + 2)
-            if img_tgt is not None:
-                out[K.IMG.value] = np.stack(
-                    [np.moveaxis(im, 0, -1) for im in (img_ref, img_tgt)]
-                ).astype(np.float32)
+        images = self._boundary_images(file_index)
+        if images is not None:
+            out[K.IMG.value] = np.stack(
+                [np.moveaxis(im, 0, -1) for im in images]
+            ).astype(np.float32)
         return out
 
 

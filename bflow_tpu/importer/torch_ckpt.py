@@ -68,9 +68,6 @@ def _map_key(torch_key: str) -> Tuple[Tuple[str, ...], str, str]:
             i += 1
 
     is_norm_leaf = leaf in ("running_mean", "running_var", "num_batches_tracked")
-    is_norm_mod = out and out[-1].startswith(("norm", "ds_norm")) or (
-        out and out[-1].startswith("mask_") and leaf in ("running_mean", "running_var")
-    )
 
     if is_norm_leaf:
         name = {"running_mean": "mean", "running_var": "var"}.get(leaf, leaf)

@@ -137,10 +137,29 @@ def make_train_step(model: RAFTSpline, task: TaskConfig, tx):
     return train_step
 
 
-def init_metric_acc(metrics_template) -> Dict[str, Tuple]:
-    """Zeroed on-device accumulator matching a step's metrics dict."""
-    import numpy as np
+def train_metric_keys(task: TaskConfig) -> Tuple[str, ...]:
+    """The exact metric keys a train step emits — static per task, so the
+    accumulator can be built before the first step (one compiled graph)."""
+    singles = ("epe", "ae", "1pe", "2pe", "3pe")
+    if task.dataset == "dsec":
+        return ("train/l1_seq_loss",) + tuple(f"train/{k}" for k in singles)
+    loss = (
+        "train/l1_multi_seq_loss" if task.multi_loss else "train/l1_seq_loss"
+    )
+    return (
+        (loss,)
+        + tuple(f"train/{k}" for k in singles)
+        + (
+            "train/epe_multi",
+            "train/ae_multi",
+            "train/epe_multi_lin",
+            "train/ae_multi_lin",
+        )
+    )
 
+
+def init_metric_acc(metrics_template) -> Dict[str, Tuple]:
+    """Zeroed on-device accumulator from a metrics dict OR a key tuple."""
     return {
         k: (jnp.float32(0.0), jnp.float32(0.0)) for k in metrics_template
     }

@@ -74,12 +74,10 @@ long bflow_blosc_decompress(const uint8_t* src, long srclen, uint8_t* dst,
   if (cbytes > (uint32_t)srclen || nbytes > (uint32_t)dstcap) return -1;
 
   if (flags & kFlagMemcpy) {
+    // c-blosc1 memcpys the ORIGINAL (unshuffled) buffer when compression
+    // doesn't pay; the shuffle flag may still be set and must be ignored.
     if (srclen < (long)(16 + nbytes)) return -1;
-    if (flags & kFlagByteShuffle && typesize > 1) {
-      unshuffle_bytes(src + 16, dst, nbytes, typesize);
-    } else {
-      std::memcpy(dst, src + 16, nbytes);
-    }
+    std::memcpy(dst, src + 16, nbytes);
     return (long)nbytes;
   }
 

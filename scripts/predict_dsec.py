@@ -65,14 +65,13 @@ def main(argv=None) -> None:
     cfg = model_config_from(config)
     model = RAFTSpline(cfg)
 
-    dataset = provider.get_test_dataset()
-    split = "test"
-    if dataset is None:
+    # file indices restart per sequence: one output directory each
+    sequences = list(provider.iter_test_sequences())
+    if not sequences:
         print("no test split found; falling back to train-split inference")
-        dataset = provider.get_val_dataset()
-        split = "train"
+        sequences = [("train_split", provider.get_val_dataset())]
 
-    item0 = dataset[0]
+    item0 = sequences[0][1][0]
     import jax.numpy as jnp
 
     variables = jax.jit(
@@ -90,25 +89,29 @@ def main(argv=None) -> None:
         _, up = model.apply(variables, voxel, images, test_mode=True)
         return up.flow_at(1.0)
 
-    output_dir.mkdir(parents=True, exist_ok=True)
-    n = len(dataset)
-    print(f"predicting {n} windows from the {split} split")
-    for i in range(n):
-        item = dataset[i]
-        voxel = jnp.asarray(item[K.EV_REPR.value])[None]
-        images = (
-            jnp.asarray(item[K.IMG.value])[:, None]
-            if cfg.use_images and K.IMG.value in item
-            else None
-        )
-        flow = np.asarray(forward(variables, voxel, images)[0])
-        file_index = int(item[K.FILE_INDEX.value])
-        encode_submission_png(
-            output_dir / (f"{file_index}".zfill(6) + ".png"), flow
-        )
-        if (i + 1) % 50 == 0:
-            print(f"  {i + 1}/{n}")
-    print(f"wrote {n} PNGs to {output_dir}")
+    total = 0
+    for seq_name, dataset in sequences:
+        seq_dir = output_dir / seq_name
+        seq_dir.mkdir(parents=True, exist_ok=True)
+        n = len(dataset)
+        print(f"{seq_name}: predicting {n} windows")
+        for i in range(n):
+            item = dataset[i]
+            voxel = jnp.asarray(item[K.EV_REPR.value])[None]
+            images = (
+                jnp.asarray(item[K.IMG.value])[:, None]
+                if cfg.use_images and K.IMG.value in item
+                else None
+            )
+            flow = np.asarray(forward(variables, voxel, images)[0])
+            file_index = int(item[K.FILE_INDEX.value])
+            encode_submission_png(
+                seq_dir / (f"{file_index}".zfill(6) + ".png"), flow
+            )
+            if (i + 1) % 50 == 0:
+                print(f"  {i + 1}/{n}")
+        total += n
+    print(f"wrote {total} PNGs to {output_dir}")
 
 
 if __name__ == "__main__":

@@ -106,3 +106,30 @@ def test_val_config_self_last():
     assert cfg["checkpoint"] == "/ckpt/x.ckpt"
     assert cfg["batch_size"] == 8
     assert cfg["hardware"]["num_workers"] == 4
+
+
+def test_precision_and_runtime_knobs_reach_model_config():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from train import model_config_from
+
+    cfg = compose(
+        CONFIG_DIR,
+        "train",
+        [
+            "dataset=dsec", "model=raft-spline", "dataset.path=/d",
+            "wandb.group_name=g",
+            "model.num_bins.correlation=5",
+            "model.precision.corr=bfloat16",
+            "model.precision.compute=bfloat16",
+            "model.lookup_method=gather",
+            "model.remat_updates=true",
+        ],
+    )
+    mc = model_config_from(cfg)
+    assert mc.corr_precision == "bfloat16"
+    assert mc.compute_dtype == "bfloat16"
+    assert mc.lookup_method == "gather"
+    assert mc.remat_updates is True

@@ -388,3 +388,24 @@ def test_grain_loader(multiflow_root):
     np.testing.assert_array_equal(
         b[K.EV_REPR.value], again[K.EV_REPR.value]
     )
+
+
+def test_blosc_memcpy_chunk_decode(rng):
+    """c-blosc memcpy fallback chunks store the ORIGINAL buffer; the
+    shuffle flag must be ignored on decode."""
+    import struct
+
+    from bflow_tpu.data import blosc_native as bn
+
+    if not bn.available():
+        pytest.skip("native codec unavailable")
+    arr = rng.standard_normal(64).astype(np.float32)
+    raw = arr.tobytes()
+    # header: ver, verlz, flags=(shuffle|memcpy)=0x3, typesize=4,
+    # nbytes, blocksize, cbytes
+    hdr = bytes([2, 1, 0x3, 4]) + struct.pack(
+        "<III", len(raw), len(raw), 16 + len(raw)
+    )
+    out = bn.decompress(hdr + raw, len(raw))
+    assert out is not None
+    np.testing.assert_array_equal(np.frombuffer(out, np.float32), arr)

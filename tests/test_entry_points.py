@@ -243,8 +243,9 @@ def test_predict_dsec_script(mini_dsec, tmp_path):
         "model.use_boundary_images=true",
         "model.correlation.ev.levels=[1,1,1,4]",
     ])
-    pngs = sorted(sub_dir.glob("*.png"))
+    pngs = sorted(sub_dir.glob("*/*.png"))
     assert len(pngs) == 3  # mini_dsec has 3 flow windows
+    assert pngs[0].parent.name == "train_split"
     from bflow_tpu.data.io import load_flow_png
 
     flow, valid = load_flow_png(pngs[0])

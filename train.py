@@ -38,9 +38,15 @@ def model_config_from(config):
     from bflow_tpu.models import RaftSplineConfig
 
     model_cfg = dict(config["model"])
-    prec = (model_cfg.get("precision") or {}).get("corr", "float32")
+    precision = model_cfg.get("precision") or {}
     cfg = RaftSplineConfig.from_dict(model_cfg)
-    return cfg.__class__(**{**cfg.__dict__, "corr_precision": prec})
+    return cfg.__class__(**{
+        **cfg.__dict__,
+        "corr_precision": precision.get("corr", "float32"),
+        "compute_dtype": precision.get("compute", "float32"),
+        "lookup_method": model_cfg.get("lookup_method", "auto"),
+        "remat_updates": bool(model_cfg.get("remat_updates", False)),
+    })
 
 
 def supervision_timestamps(dataset) -> tuple:
@@ -77,7 +83,11 @@ def main(argv=None) -> None:
         make_eval_step,
         make_train_step,
     )
-    from bflow_tpu.train.step import init_metric_acc, metric_acc_means
+    from bflow_tpu.train.step import (
+        init_metric_acc,
+        metric_acc_means,
+        train_metric_keys,
+    )
     from bflow_tpu.train.checkpoint import (
         CheckpointManager,
         restore_weights_only,
@@ -199,8 +209,11 @@ def main(argv=None) -> None:
         profiler_dir = str(run_dir / "profile")
         jax.profiler.start_trace(profiler_dir)
 
-    metric_acc = None  # device-side accumulator, created from step 1
+    # device-side accumulator: keys are static per task, so only ONE
+    # train-step graph is ever compiled
+    metric_acc = init_metric_acc(train_metric_keys(task))
     step = int(state.step)
+    last_log_step, last_log_time = step, time.time()
     t_start = time.time()
     print(f"training: {n_devices} device(s), batch {batch_size}, "
           f"{n_train} batches/epoch, target {max_steps} steps")
@@ -213,19 +226,7 @@ def main(argv=None) -> None:
                     break
                 batch = shard_batch(batch, mesh)
                 with mesh:
-                    if metric_acc is None:
-                        # first step returns raw metrics; seed the
-                        # on-device accumulator from them
-                        state, metrics = train_step(state, batch)
-                        metric_acc = {
-                            k: (metrics[k][0] * metrics[k][1],
-                                metrics[k][1])
-                            for k in metrics
-                        }
-                    else:
-                        state, metric_acc = train_step(
-                            state, batch, metric_acc
-                        )
+                    state, metric_acc = train_step(state, batch, metric_acc)
                 step += 1
                 if step % log_every == 0 or step == 1:
                     vals = metric_acc_means(metric_acc)
@@ -234,7 +235,11 @@ def main(argv=None) -> None:
                         if callable(schedule)
                         else schedule
                     )
-                    vals["steps_per_sec"] = step / (time.time() - t_start)
+                    now = time.time()
+                    vals["steps_per_sec"] = (step - last_log_step) / max(
+                        now - last_log_time, 1e-9
+                    )
+                    last_log_step, last_log_time = step, now
                     csv_logger.log(vals, step)
                     wb.log(vals, step)
                     print(
