@@ -409,3 +409,55 @@ def test_blosc_memcpy_chunk_decode(rng):
     out = bn.decompress(hdr + raw, len(raw))
     assert out is not None
     np.testing.assert_array_equal(np.frombuffer(out, np.float32), arr)
+
+
+def test_flow_augmentor_flip_semantics(rng):
+    """Flips negate the matching flow component (reference augmentor.py
+    contract); crop is shared across all tensors."""
+    from bflow_tpu.data.augmentor import FlowAugmentor
+
+    ev = rng.standard_normal((9, 20, 30)).astype(np.float32)
+    flow = rng.standard_normal((2, 20, 30)).astype(np.float32)
+    valid = rng.random((20, 30)) > 0.5
+    img = rng.integers(0, 255, (3, 20, 30)).astype(np.uint8)
+
+    aug = FlowAugmentor((10, 12), h_flip_prob=1.0, v_flip_prob=0.0)
+    rng2 = np.random.default_rng(0)
+    evs, flows, valids, imgs = aug(rng2, [ev], [flow], [valid], [img])
+
+    # shapes cropped consistently
+    assert evs[0].shape == (9, 10, 12)
+    assert flows[0].shape == (2, 10, 12)
+    assert valids[0].shape == (10, 12)
+    assert imgs[0].shape == (3, 10, 12)
+
+    # reconstruct expected: h-flip (axis -1) + x-sign negation, then crop
+    f = np.flip(flow, -1).copy()
+    f[0] *= -1
+    # crop offset is rng-dependent; verify sign/flip on the full-frame
+    # tensors by re-running with a crop equal to the full size - 1
+    aug_full = FlowAugmentor((19, 29), h_flip_prob=1.0, v_flip_prob=0.0)
+    rng3 = np.random.default_rng(0)
+    _, flows_f, _, _ = aug_full(rng3, [ev], [flow], [valid], [img])
+    y0 = x0 = None
+    # locate the crop by matching against the expected flipped tensor
+    for yy in range(2):
+        for xx in range(2):
+            if np.allclose(flows_f[0], f[:, yy:yy+19, xx:xx+29]):
+                y0, x0 = yy, xx
+    assert y0 is not None, "flipped+sign-negated flow not found in output"
+
+
+def test_loader_propagates_worker_errors():
+    from bflow_tpu.data.loader import Loader
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    loader = Loader(Broken(), batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)

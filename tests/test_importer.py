@@ -249,3 +249,39 @@ def test_stem_s2d_exactness(rng):
     xo = jnp.asarray(rng.standard_normal((1, 23, 31, 3)), jnp.float32)
     vo = s2d.init(jax.random.PRNGKey(0), xo)
     assert s2d.apply(vo, xo).shape == (1, 12, 16, 64)
+
+
+def test_import_multiflow_degree10_config():
+    """Importer handles the MultiFlow E_I_LU5_BD10 architecture (degree-10
+    bezier head, 972 corr planes, 41+3 context channels)."""
+    cfg = RaftSplineConfig(
+        nbins_context=41, nbins_correlation=25, bezier_degree=10,
+        ev_target_indices=(8, 16, 24, 32, 40), ev_levels=(1, 1, 1, 1, 4),
+        use_images=True, iters_train=1, iters_test=1,
+    )
+    assert cfg.corr_planes == 972
+    rng = np.random.default_rng(0)
+    voxel = jnp.asarray(
+        rng.standard_normal((1, 32, 32, cfg.nbins_total)), jnp.float32
+    )
+    images = jnp.asarray(
+        rng.integers(0, 255, (2, 1, 32, 32, 3)), jnp.float32
+    )
+    model = RAFTSpline(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), voxel, images, test_mode=True
+    )
+    sd = {}
+    sd.update(encoder_keys("net.fnet_ev", 25, 256, "instance"))
+    sd.update(encoder_keys("net.fnet_img", 3, 256, "instance"))
+    sd.update(encoder_keys("net.cnet", 41 + 3, 256, "batch"))
+    sd.update(update_block_keys(cfg))
+    out = convert_state_dict(sd, variables)
+    assert out["params"]["update_block"]["bezier_head"]["conv2"][
+        "kernel"
+    ].shape == (3, 3, 256, 20)
+    low, up = model.apply(
+        {"params": out["params"], "batch_stats": out["batch_stats"]},
+        voxel, images, test_mode=True,
+    )
+    assert up.params.shape == (1, 32, 32, 10, 2)
