@@ -102,3 +102,30 @@ def test_visualization_renderers(rng):
     )
     arr = figure_to_array(fig)
     assert arr.ndim == 3 and arr.shape[-1] == 3
+
+
+def test_wandb_logger_noop_without_wandb():
+    from bflow_tpu.loggers.wandb_logger import WandbLogger
+
+    wb = WandbLogger(project="p", group="g")
+    assert not wb.enabled  # wandb absent in this environment
+    wb.log({"a": 1.0}, step=1)  # all no-ops, no raise
+    wb.log_image("k", np.zeros((4, 4, 3), np.uint8), step=1)
+    wb.upload_checkpoint("/tmp/nowhere", step=1)
+    assert wb.run_id is None
+    wb.finalize()
+
+
+def test_distributed_helpers_single_process():
+    import jax
+
+    from bflow_tpu.parallel.distributed import (
+        host_local_batch_slice,
+        initialize_distributed,
+        is_primary_host,
+    )
+
+    assert initialize_distributed() is False  # single-process: no-op
+    assert is_primary_host()
+    sl = host_local_batch_slice(8)
+    assert (sl.start, sl.stop) == (0, 8)
