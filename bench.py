@@ -54,6 +54,12 @@ def main() -> None:
         # forward executed (block_until_ready can be a relay no-op)
         return bezier_up.flow_at(1.0).sum()
 
+    def is_oom(exc) -> bool:
+        msg = f"{type(exc).__name__}: {exc}"
+        return any(s in msg for s in
+                   ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
+                    "Allocator", "exceeds the memory"))
+
     best = 0.0
     best_batch = 1
     # batch 8 is the measured throughput optimum (16 is flat, 1-4 lower);
@@ -74,8 +80,15 @@ def main() -> None:
             fps = batch * K / dt
             if fps > best:
                 best, best_batch = fps, batch
-        except Exception:
-            break  # OOM at this batch size; keep best so far
+        except Exception as exc:
+            # ONLY an OOM at a larger batch may fall back to the best
+            # smaller-batch number; any other failure is a real regression
+            # and must fail the benchmark loudly (VERDICT r1, weak #3).
+            if is_oom(exc) and best > 0.0:
+                print(f"# batch {batch} OOM, keeping batch {best_batch}",
+                      file=__import__("sys").stderr)
+                break
+            raise
 
     print(
         json.dumps(

@@ -10,6 +10,7 @@ validation batches to bound memory. Disabled entirely by
 
 from __future__ import annotations
 
+import random
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -18,6 +19,7 @@ from bflow_tpu.callbacks.visualization import (
     ERROR_CLIP,
     bezier_trajectory_figure,
     figure_to_array,
+    grad_flow_figure,
     summary_image,
 )
 from bflow_tpu.data.keys import DataLoading as K
@@ -38,6 +40,16 @@ class MediaLogger:
         self.n_val = n_val_predictions
         self.enabled = enabled and hasattr(logger, "log_image")
         self._last_step = -(10**9)
+        self._last_grad_step = -(10**9)
+        self._val_indices: Optional[set] = None
+
+    def plan_validation(self, n_batches: int) -> None:
+        """Deterministically pick which validation batches to render
+        (seed-0 sample, reference callbacks/logger.py:288-297) so media
+        RAM stays bounded and runs are comparable."""
+        n = min(self.n_val, n_batches)
+        random.seed(0)
+        self._val_indices = set(random.sample(range(n_batches), n))
 
     def _render(self, batch: Dict[str, Any], pred_flow: np.ndarray, i: int):
         ev = batch.get(K.EV_REPR.value)
@@ -73,9 +85,38 @@ class MediaLogger:
             )
 
     def on_validation_batch(
-        self, step: int, batch_idx: int, batch: Dict[str, Any], pred_flow
+        self,
+        step: int,
+        batch_idx: int,
+        batch: Dict[str, Any],
+        pred_flow,
+        bezier_params: Optional[np.ndarray] = None,
     ) -> None:
-        if not self.enabled or batch_idx >= self.n_val:
+        if not self.enabled:
+            return
+        if self._val_indices is not None:
+            if batch_idx not in self._val_indices:
+                return
+        elif batch_idx >= self.n_val:  # fallback: first-n
             return
         strip = self._render(batch, np.asarray(pred_flow), 0)
         self.logger.log_image(f"val/summary_{batch_idx}", strip, step)
+        if bezier_params is not None and np.asarray(bezier_params).shape[-2] > 1:
+            fig = bezier_trajectory_figure(np.asarray(bezier_params)[0])
+            self.logger.log_image(
+                f"val/bezier_trajectories_{batch_idx}",
+                figure_to_array(fig), step,
+            )
+
+    def on_after_backward(self, step: int, named_grad_norms) -> None:
+        """Gradient-magnitude bar chart at logging cadence (reference
+        callbacks/logger.py:129-135). `named_grad_norms` is a dict of
+        parameter path -> mean |grad| (see train.step.grad_norm_tree)."""
+        if not self.enabled or step - self._last_grad_step < self.every_n_steps:
+            return
+        self._last_grad_step = step
+        items = sorted(
+            (k, float(np.asarray(v))) for k, v in named_grad_norms.items()
+        )
+        fig = grad_flow_figure(items)
+        self.logger.log_image("train/gradients", figure_to_array(fig), step)

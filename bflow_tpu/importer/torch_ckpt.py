@@ -118,6 +118,13 @@ def convert_state_dict(
             continue
         if tkey.endswith("num_batches_tracked"):
             continue
+        if ".norm3." in tkey:
+            # The reference ResidualBlock registers the downsample norm
+            # twice — as `norm3` AND inside `downsample.1` (the same
+            # module object, reference models/raft_utils/extractor.py:
+            # 19,43-44) — so real state dicts carry aliased duplicates.
+            # The downsample.1 copy is the one we map.
+            continue
         path, leaf, coll = _map_key(tkey)
         arr = _to_numpy(tval)
         if leaf == "kernel":

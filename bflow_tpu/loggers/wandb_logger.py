@@ -72,6 +72,27 @@ class WandbLogger:
              "trainer/global_step": step},
         )
 
+    def log_histograms(
+        self, tree: Any, step: int, prefix: str = "parameters"
+    ) -> None:
+        """Histogram every leaf of a param/grad pytree — the functional
+        equivalent of the reference's `logger.watch(net, log='all')`
+        (/root/reference/train.py:137, loggers/wandb_logger.py:126-127)."""
+        if not self.enabled:
+            return
+        import jax
+        import numpy as np
+
+        payload: Dict[str, Any] = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            name = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+            )
+            payload[f"{prefix}/{name}"] = wandb.Histogram(
+                np.asarray(leaf).ravel()
+            )
+        self._run.log({**payload, "trainer/global_step": step})
+
     # -- checkpoint artifacts -------------------------------------------------
 
     def upload_checkpoint(

@@ -86,6 +86,42 @@ class CheckpointManager:
         self._ckpt.wait_until_finished()
 
 
+def resolve_artifact_checkpoint(wandb_cfg: Dict[str, Any], logger) -> Optional[Path]:
+    """Resolve `wandb.artifact_name` to a local checkpoint path.
+
+    Mirrors the reference resume flow (/root/reference/train.py:93-106):
+    a local path is used directly (our extension — orbax dirs and torch
+    .ckpt files); otherwise the artifact is downloaded via the logger
+    from `artifact_runpath`, falling back to `wandb_runpath`.
+    """
+    name = wandb_cfg.get("artifact_name")
+    if not name:
+        return None
+    local = Path(name)
+    if local.exists():
+        return local
+    runpath = wandb_cfg.get("artifact_runpath") or wandb_cfg.get("wandb_runpath")
+    if runpath is None:
+        print(
+            "must specify wandb_runpath or artifact_runpath to restore a "
+            "checkpoint/artifact. Cannot load artifact."
+        )
+        return None
+    print(f"resuming checkpoint from runpath {runpath} and artifact {name}")
+    downloaded = logger.download_checkpoint(runpath, name)
+    if downloaded is None:
+        return None
+    downloaded = Path(downloaded)
+    if downloaded.is_file():
+        return downloaded
+    # artifact directory: prefer a .ckpt file, else an orbax state dir
+    ckpts = sorted(downloaded.glob("**/*.ckpt"))
+    if ckpts:
+        return ckpts[0]
+    subdirs = [p for p in sorted(downloaded.iterdir()) if p.is_dir()]
+    return subdirs[0] if subdirs else downloaded
+
+
 def restore_weights_only(path: str, template_variables: Dict[str, Any]):
     """Weights-only resume from an orbax state dir OR a torch .ckpt."""
     p = Path(path)

@@ -55,7 +55,22 @@ def _unpack(batch: Dict[str, Any], use_images: bool):
     return voxel, images, flow, valid
 
 
-def make_train_step(model: RAFTSpline, task: TaskConfig, tx):
+def grad_norm_tree(grads) -> Dict[str, jax.Array]:
+    """Mean |grad| per parameter leaf, keyed by a '/'-joined path — the
+    payload of the reference's gradient-magnitude figure
+    (/root/reference/callbacks/logger.py:129-135)."""
+    out: Dict[str, jax.Array] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        name = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        out[name] = jnp.mean(jnp.abs(leaf)).astype(jnp.float32)
+    return out
+
+
+def make_train_step(
+    model: RAFTSpline, task: TaskConfig, tx, with_grad_norms: bool = False
+):
     cfg = model.config
 
     def loss_fn(params, batch_stats, batch):
@@ -123,8 +138,13 @@ def make_train_step(model: RAFTSpline, task: TaskConfig, tx):
             batch_stats=new_bs,
             opt_state=new_opt,
         )
+        norms = grad_norm_tree(grads) if with_grad_norms else None
         if metric_acc is None:
-            return new_state, metrics
+            return (
+                (new_state, metrics, norms)
+                if with_grad_norms
+                else (new_state, metrics)
+            )
         new_acc = {
             k: (
                 metric_acc[k][0] + metrics[k][0] * metrics[k][1],
@@ -132,6 +152,8 @@ def make_train_step(model: RAFTSpline, task: TaskConfig, tx):
             )
             for k in metrics
         }
+        if with_grad_norms:
+            return new_state, new_acc, norms
         return new_state, new_acc
 
     return train_step
@@ -182,11 +204,36 @@ def make_eval_step(model: RAFTSpline, task: TaskConfig):
     cfg = model.config
 
     def eval_step(variables, batch):
+        from bflow_tpu.ops.bezier import BezierCurves
+        from bflow_tpu.utils.padder import InputPadder
+
         voxel, images, flow, valid = _unpack(batch, cfg.use_images)
-        _, bezier_up = model.apply(
+        # pad non-x8 inputs for inference, unpad the prediction — the
+        # reference intends this in validation_step but its
+        # requires_padding bug keeps the path dead
+        # (/root/reference/modules/raft_spline.py:216-221). Shapes are
+        # static under jit, so the branch resolves at trace time.
+        ref = voxel if voxel is not None else images[0]
+        H, W = ref.shape[-3], ref.shape[-2]
+        padder = InputPadder()
+        if padder.requires_padding(H, W):
+            if voxel is not None:
+                voxel = padder.pad(voxel)
+            if images is not None:
+                images = padder.pad(images)
+        bezier_low, bezier_up = model.apply(
             variables, voxel, images, iters=cfg.iters_test,
             test_mode=True, train=False,
         )
+        if padder.requires_padding(H, W):
+            # bezier params are (N, Hp, Wp, P, 2): unpad the spatial axes
+            up = padder.unpad(
+                bezier_up.params.reshape(*bezier_up.params.shape[:3], -1),
+                H, W,
+            )
+            bezier_up = BezierCurves(
+                up.reshape(*up.shape[:3], *bezier_up.params.shape[3:])
+            )
 
         metrics: Dict[str, M.MetricUpdate] = {}
         if task.dataset == "dsec":
@@ -207,6 +254,6 @@ def make_eval_step(model: RAFTSpline, task: TaskConfig):
             metrics["val/ae_multi_lin"] = M.ae_multi(lin, targets)
             prediction = preds[-1]
 
-        return metrics, prediction
+        return metrics, prediction, bezier_low.params
 
     return eval_step

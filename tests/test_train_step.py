@@ -95,10 +95,44 @@ def test_eval_step_metrics(dsec_setup):
     model, variables, tx, batch = dsec_setup
     task = TaskConfig(dataset="dsec")
     eval_step = jax.jit(make_eval_step(model, task))
-    metrics, pred = eval_step(variables, batch)
+    metrics, pred, bez_low = eval_step(variables, batch)
     assert pred.shape == (2, 32, 32, 2)
+    assert bez_low.shape == (2, 4, 4, SMALL.bezier_degree, 2)
     assert set(metrics) == {"val/epe", "val/ae", "val/1pe", "val/2pe", "val/3pe"}
     assert np.isfinite(float(metrics["val/epe"][0]))
+
+
+def test_eval_step_pads_non_x8_inputs(dsec_setup):
+    """478x39-ish inputs must be padded for inference and unpadded back
+    (reference modules/raft_spline.py:216-221, with the requires_padding
+    bug fixed)."""
+    model, variables, tx, _ = dsec_setup
+    task = TaskConfig(dataset="dsec")
+    rng = np.random.default_rng(3)
+    n, h, w = 1, 30, 39  # not divisible by 8
+    batch = {
+        K.EV_REPR.value: rng.standard_normal((n, h, w, 9)).astype(np.float32),
+        K.IMG.value: rng.integers(0, 255, (2, n, h, w, 3)).astype(np.float32),
+        K.FLOW.value: rng.standard_normal((n, h, w, 2)).astype(np.float32),
+        K.FLOW_VALID.value: np.ones((n, h, w), bool),
+    }
+    eval_step = jax.jit(make_eval_step(model, task))
+    metrics, pred, _ = eval_step(variables, batch)
+    assert pred.shape == (n, h, w, 2)
+    assert np.isfinite(float(metrics["val/epe"][0]))
+
+
+def test_train_step_grad_norms(dsec_setup):
+    model, variables, tx, batch = dsec_setup
+    task = TaskConfig(dataset="dsec")
+    state = TrainState.create(variables, tx)
+    step = jax.jit(make_train_step(model, task, tx, with_grad_norms=True))
+    state, metrics, norms = step(state, batch)
+    assert norms, "expected per-parameter grad norms"
+    vals = [float(np.asarray(v)) for v in norms.values()]
+    assert all(np.isfinite(vals))
+    assert any(v > 0 for v in vals)
+    assert any("update_block" in k for k in norms)
 
 
 def test_multiflow_train_step(rng):

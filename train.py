@@ -161,14 +161,28 @@ def main(argv=None) -> None:
     tx, schedule = build_optimizer(train_cfg)
     state = TrainState.create(variables, tx)
 
-    # resume: full state from orbax 'last', or weights-only from any ckpt
     wandb_cfg = config["wandb"]
-    if wandb_cfg.get("artifact_name"):
-        ckpt_path = wandb_cfg["artifact_name"]
-        if wandb_cfg.get("resume_only_weights"):
-            variables = restore_weights_only(ckpt_path, variables)
-            state = TrainState.create(variables, tx)
-            print(f"resumed weights from {ckpt_path}")
+    csv_logger = CSVLogger(str(run_dir), "train_metrics")
+    wb = WandbLogger(
+        project=wandb_cfg.get("project_name", "contflow"),
+        group=wandb_cfg.get("group_name"),
+        run_id=(
+            Path(wandb_cfg["wandb_runpath"]).name
+            if wandb_cfg.get("wandb_runpath")
+            else None
+        ),
+        config=config,
+    )
+
+    # resume: W&B artifact / local path (weights-only or full), then any
+    # orbax 'last' in the run dir (reference train.py:93-106,127-130)
+    from bflow_tpu.train.checkpoint import resolve_artifact_checkpoint
+
+    ckpt_path = resolve_artifact_checkpoint(wandb_cfg, wb)
+    if ckpt_path is not None and wandb_cfg.get("resume_only_weights"):
+        variables = restore_weights_only(str(ckpt_path), variables)
+        state = TrainState.create(variables, tx)
+        print(f"resumed weights from {ckpt_path}")
     restored = ckpt_mgr.restore(state, "last")
     if restored is not None:
         state = restored
@@ -176,14 +190,11 @@ def main(argv=None) -> None:
 
     state = jax.device_put(state, replicate(mesh))
 
-    csv_logger = CSVLogger(str(run_dir), "train_metrics")
-    wb = WandbLogger(
-        project=wandb_cfg.get("project_name", "contflow"),
-        group=wandb_cfg.get("group_name"),
-        config=config,
+    log_media = not config["logging"].get("only_numbers", False)
+    train_step = jax.jit(
+        make_train_step(model, task, tx, with_grad_norms=log_media),
+        donate_argnums=0,
     )
-
-    train_step = jax.jit(make_train_step(model, task, tx), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, task))
 
     from bflow_tpu.callbacks.logger import MediaLogger
@@ -195,7 +206,7 @@ def main(argv=None) -> None:
         n_val_predictions=int(
             config["logging"].get("log_n_val_predictions", 2)
         ),
-        enabled=not config["logging"].get("only_numbers", False),
+        enabled=log_media,
     )
 
     max_steps = int(train_cfg["max_steps"])
@@ -226,7 +237,13 @@ def main(argv=None) -> None:
                     break
                 batch = shard_batch(batch, mesh)
                 with mesh:
-                    state, metric_acc = train_step(state, batch, metric_acc)
+                    if log_media:
+                        state, metric_acc, grad_norms = train_step(
+                            state, batch, metric_acc
+                        )
+                    else:
+                        state, metric_acc = train_step(state, batch, metric_acc)
+                        grad_norms = None
                 step += 1
                 if step % log_every == 0 or step == 1:
                     vals = metric_acc_means(metric_acc)
@@ -251,11 +268,22 @@ def main(argv=None) -> None:
                     metric_acc = init_metric_acc(metric_acc)
                     if media.enabled:
                         with mesh:
-                            _, pred = eval_step(state.variables, batch)
+                            _, pred, bez_low = eval_step(
+                                state.variables, batch
+                            )
                         media.on_train_batch(
                             step, jax.device_get(batch),
                             jax.device_get(pred),
+                            bezier_params=jax.device_get(bez_low),
                         )
+                        if grad_norms is not None:
+                            media.on_after_backward(
+                                step, jax.device_get(grad_norms)
+                            )
+                        if wb.enabled:
+                            wb.log_histograms(
+                                jax.device_get(state.params), step
+                            )
 
             # validation (MultiFlow; DSEC has none — reference parity)
             epoch_metrics = {"step": float(step)}
@@ -272,16 +300,20 @@ def main(argv=None) -> None:
                 n_val = limit_batches(
                     train_cfg.get("limit_val_batches"), len(val_loader)
                 )
+                media.plan_validation(n_val)
                 for v_idx, vbatch in enumerate(val_loader):
                     if v_idx >= n_val:
                         break
                     vbatch = shard_batch(vbatch, mesh)
                     with mesh:
-                        vmetrics, vpred = eval_step(state.variables, vbatch)
+                        vmetrics, vpred, vbez = eval_step(
+                            state.variables, vbatch
+                        )
                     val_bank.update(vmetrics)
                     media.on_validation_batch(
                         step, v_idx, jax.device_get(vbatch),
                         jax.device_get(vpred),
+                        bezier_params=jax.device_get(vbez),
                     )
                 vvals = val_bank.compute()
                 epoch_metrics.update(vvals)

@@ -83,7 +83,7 @@ def main(argv=None) -> None:
     t0 = time.time()
     n = 0
     for batch in loader:
-        metrics, _ = eval_step(variables, batch)
+        metrics, _, _ = eval_step(variables, batch)
         bank.update(metrics)
         n += batch[K.EV_REPR.value].shape[0]
     dt = time.time() - t0
