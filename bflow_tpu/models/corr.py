@@ -38,11 +38,16 @@ def all_pairs_correlation(
     fmap_tgt: jax.Array,
     precision: str = "float32",
 ) -> jax.Array:
-    """(T, N, h, w, D) x (T, N, h, w, D) -> (T, N, h, w, h, w) / sqrt(D)."""
+    """(T, N, h, w, D) x (T, N, hk, wk, D) -> (T, N, h, w, hk, wk) / sqrt(D).
+
+    The target map may be spatially smaller than the reference map (the
+    pooled pyramid levels correlate full-resolution queries against
+    pooled target features, see build_corr_pyramid)."""
     T, N, h, w, D = fmap_ref.shape
-    assert fmap_tgt.shape == fmap_ref.shape
+    Tk, Nk, hk, wk, Dk = fmap_tgt.shape
+    assert (Tk, Nk, Dk) == (T, N, D), (fmap_ref.shape, fmap_tgt.shape)
     a = fmap_ref.reshape(T, N, h * w, D)
-    b = fmap_tgt.reshape(T, N, h * w, D)
+    b = fmap_tgt.reshape(T, N, hk * wk, D)
     if precision == "bfloat16":
         # fast mode: bf16 operands, f32 MXU accumulation, bf16 output —
         # halves both the volume write and the per-iteration lookup
@@ -56,7 +61,7 @@ def all_pairs_correlation(
                          precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32)
         vol = vol / jnp.sqrt(jnp.float32(D))
-    return vol.reshape(T, N, h, w, h, w)
+    return vol.reshape(T, N, h, w, hk, wk)
 
 
 def _avg_pool_2x2(vol: jax.Array) -> jax.Array:
@@ -89,23 +94,38 @@ def build_corr_pyramid(
     levels_per_target: Sequence[int],
     precision: str = "float32",
 ) -> List[CorrLevel]:
-    """Full-resolution volume once, then pooled copies for the target
-    subsets whose pyramid continues (reference corr.py:297-305)."""
+    """Per-level all-pairs volumes against POOLED TARGET FEATURES.
+
+    The reference builds the full volume once and avg-pools it per level
+    (corr.py:297-305). Average pooling over the target-map axes commutes
+    with the dot product over the feature dim (both linear), so pooling
+    the ~2 MB feature maps and re-correlating is mathematically the same
+    volume — without ever streaming the ~GB level-0 volume through a
+    pooling pass (measured 18 ms/fwd at B=4 vs ~1 ms this way). Odd
+    trailing rows/cols truncate at each level exactly like torch
+    avg_pool2d, so level shapes match the reference bit-for-bit."""
     T = fmap_ref.shape[0]
     assert len(levels_per_target) == T, (levels_per_target, T)
-    base = all_pairs_correlation(fmap_ref, fmap_tgt, precision)
 
     per_level = level_target_indices(levels_per_target)
-    pyramid: List[CorrLevel] = [(per_level[0], base)]
-    prev_idx, prev_vol = pyramid[0]
+    pyramid: List[CorrLevel] = [
+        (per_level[0], all_pairs_correlation(fmap_ref, fmap_tgt, precision))
+    ]
+    prev_idx, prev_tgt = per_level[0], fmap_tgt
     for idx_tuple in per_level[1:]:
         sel = tuple(prev_idx.index(i) for i in idx_tuple)
-        vol = prev_vol[jnp.asarray(sel)] if sel != tuple(
+        tgt = prev_tgt[jnp.asarray(sel)] if sel != tuple(
             range(len(prev_idx))
-        ) else prev_vol
-        vol = _avg_pool_2x2(vol)
-        pyramid.append((idx_tuple, vol))
-        prev_idx, prev_vol = idx_tuple, vol
+        ) else prev_tgt
+        # pool the (small) feature maps: (Tl, N, h, w, D) over h, w
+        tgt = _avg_pool_2x2(tgt.transpose(0, 1, 4, 2, 3)).transpose(
+            0, 1, 3, 4, 2
+        )
+        ref = fmap_ref[jnp.asarray(idx_tuple)]
+        pyramid.append(
+            (idx_tuple, all_pairs_correlation(ref, tgt, precision))
+        )
+        prev_idx, prev_tgt = idx_tuple, tgt
     return pyramid
 
 
