@@ -69,20 +69,46 @@ def make_grain_loader(
         if shard_by_process
         else gp.NoSharding()
     )
-    sampler = gp.IndexSampler(
-        num_records=len(dataset),
-        shuffle=shuffle,
-        seed=seed,
-        num_epochs=num_epochs if num_epochs is not None else 1,
-        shard_options=shard,
-    )
-    return gp.DataLoader(
-        data_source=_Source(),
-        sampler=sampler,
-        operations=[
-            _Load(),
-            gp.Batch(batch_size=batch_size, drop_remainder=drop_remainder),
-            _FixAxes(),
-        ],
-        worker_count=num_workers,
-    )
+
+    def build(epoch: int):
+        sampler = gp.IndexSampler(
+            num_records=len(dataset),
+            shuffle=shuffle,
+            # fresh shuffle order per epoch, like the threaded Loader's
+            # per-(epoch, index) RNG reseeding
+            seed=seed + epoch,
+            num_epochs=num_epochs if num_epochs is not None else 1,
+            shard_options=shard,
+        )
+        return gp.DataLoader(
+            data_source=_Source(),
+            sampler=sampler,
+            operations=[
+                _Load(),
+                gp.Batch(
+                    batch_size=batch_size, drop_remainder=drop_remainder
+                ),
+                _FixAxes(),
+            ],
+            worker_count=num_workers,
+        )
+
+    class _EpochLoader:
+        """Re-iterable wrapper: drop-in for the threaded Loader (len()
+        + one pass per __iter__, reshuffled each epoch)."""
+
+        def __init__(self):
+            self.epoch = 0
+
+        def __len__(self) -> int:
+            n = len(dataset)
+            if drop_remainder:
+                return n // batch_size
+            return (n + batch_size - 1) // batch_size
+
+        def __iter__(self):
+            it = iter(build(self.epoch))
+            self.epoch += 1
+            return it
+
+    return _EpochLoader()

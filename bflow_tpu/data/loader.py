@@ -46,6 +46,24 @@ def _collate(items: list) -> Dict[str, Any]:
     return out
 
 
+def make_loader(dataset, kind: str = "threaded", **kw):
+    """Config-selectable input pipeline (`hardware.loader`):
+
+    'threaded' -> the in-repo thread-pool Loader below;
+    'grain'    -> multiprocess Grain pipeline (grain_loader.py), which
+                  also shards by JAX process for multi-host runs.
+    """
+    if kind in (None, "threaded"):
+        return Loader(dataset, **kw)
+    if kind == "grain":
+        from bflow_tpu.data.grain_loader import make_grain_loader
+
+        kw.pop("prefetch_batches", None)
+        kw["drop_remainder"] = kw.pop("drop_last", True)
+        return make_grain_loader(dataset, **kw)
+    raise ValueError(f"unknown loader kind: {kind!r}")
+
+
 class Loader:
     def __init__(
         self,

@@ -88,6 +88,19 @@ def level_target_indices(
     ]
 
 
+def _pad_rows16(fmap: jax.Array) -> jax.Array:
+    """Zero-pad the target-map row axis of (Tl, N, h, w, D) features to a
+    multiple of 16. Correlations against zero features are zero, so the
+    resulting volume rows ARE grid_sample's zero padding — the pallas
+    lookup kernel requires this tile-aligned layout and reads the pad
+    rows instead of clamping (ops/pallas/corr_lookup.py)."""
+    h = fmap.shape[2]
+    hp = ((h + 15) // 16) * 16
+    if hp == h:
+        return fmap
+    return jnp.pad(fmap, ((0, 0), (0, 0), (0, hp - h), (0, 0), (0, 0)))
+
+
 def build_corr_pyramid(
     fmap_ref: jax.Array,
     fmap_tgt: jax.Array,
@@ -103,13 +116,22 @@ def build_corr_pyramid(
     volume — without ever streaming the ~GB level-0 volume through a
     pooling pass (measured 18 ms/fwd at B=4 vs ~1 ms this way). Odd
     trailing rows/cols truncate at each level exactly like torch
-    avg_pool2d, so level shapes match the reference bit-for-bit."""
+    avg_pool2d, so level shapes match the reference up to the trailing
+    zero row padding: each level's target-row axis is padded to a
+    multiple of 16 with all-zero correlations (= grid_sample zero
+    padding, see _pad_rows16), which every lookup method treats
+    identically to the unpadded map."""
     T = fmap_ref.shape[0]
     assert len(levels_per_target) == T, (levels_per_target, T)
 
     per_level = level_target_indices(levels_per_target)
     pyramid: List[CorrLevel] = [
-        (per_level[0], all_pairs_correlation(fmap_ref, fmap_tgt, precision))
+        (
+            per_level[0],
+            all_pairs_correlation(
+                fmap_ref, _pad_rows16(fmap_tgt), precision
+            ),
+        )
     ]
     prev_idx, prev_tgt = per_level[0], fmap_tgt
     for idx_tuple in per_level[1:]:
@@ -117,13 +139,17 @@ def build_corr_pyramid(
         tgt = prev_tgt[jnp.asarray(sel)] if sel != tuple(
             range(len(prev_idx))
         ) else prev_tgt
-        # pool the (small) feature maps: (Tl, N, h, w, D) over h, w
+        # pool the (small) UNPADDED feature maps — truncation semantics
+        # must see the true rows only: (Tl, N, h, w, D) over h, w
         tgt = _avg_pool_2x2(tgt.transpose(0, 1, 4, 2, 3)).transpose(
             0, 1, 3, 4, 2
         )
         ref = fmap_ref[jnp.asarray(idx_tuple)]
         pyramid.append(
-            (idx_tuple, all_pairs_correlation(ref, tgt, precision))
+            (
+                idx_tuple,
+                all_pairs_correlation(ref, _pad_rows16(tgt), precision),
+            )
         )
         prev_idx, prev_tgt = idx_tuple, tgt
     return pyramid

@@ -71,7 +71,8 @@ def main(argv=None) -> None:
 
     from bflow_tpu.confsys import compose
     from bflow_tpu.data.keys import DataLoading as K
-    from bflow_tpu.data.loader import Loader
+    from bflow_tpu.data.loader import make_loader
+    from bflow_tpu.parallel.distributed import initialize_distributed
     from bflow_tpu.loggers.csv_logger import CSVLogger
     from bflow_tpu.loggers.wandb_logger import WandbLogger
     from bflow_tpu.models import RAFTSpline
@@ -97,6 +98,10 @@ def main(argv=None) -> None:
     overrides = list(argv if argv is not None else sys.argv[1:])
     config_dir = Path(__file__).resolve().parent / "bflow_tpu" / "config"
     config = compose(config_dir, "train", overrides)
+
+    # no-op single-process; connects the JAX distributed runtime when a
+    # coordinator is configured (multi-host pods)
+    initialize_distributed()
 
     train_cfg = config["training"]
     dataset_name = config["dataset"]["name"]
@@ -124,8 +129,10 @@ def main(argv=None) -> None:
     num_workers = config["hardware"].get("num_workers") or min(
         2 * batch_size, 16
     )
-    loader = Loader(
+    loader_kind = config["hardware"].get("loader") or "threaded"
+    loader = make_loader(
         train_ds,
+        kind=loader_kind,
         batch_size=batch_size,
         shuffle=True,
         num_workers=num_workers,
@@ -291,8 +298,9 @@ def main(argv=None) -> None:
                 train_cfg.get("limit_val_batches"), 1
             ) > 0:
                 val_bank = MetricBank()
-                val_loader = Loader(
+                val_loader = make_loader(
                     provider.get_val_dataset(),
+                    kind=loader_kind,
                     batch_size=batch_size,
                     shuffle=False,
                     num_workers=num_workers,
