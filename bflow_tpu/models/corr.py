@@ -256,20 +256,50 @@ def corr_lookup(
     if method == "auto":
         method = "pallas" if jax.default_backend() == "tpu" else "gather"
 
-    out_channels: List[jax.Array] = []
-    for lvl, (target_idx, vol) in enumerate(pyramid):
-        c = coords[jnp.asarray(target_idx)] / (2.0**lvl)
-        if method == "gather":
-            feat = _lookup_level_gather(vol, c, radius)
-        elif method == "onehot":
-            feat = _lookup_level_onehot(vol, c, radius, precision)
-        elif method == "pallas":
-            from bflow_tpu.ops.pallas.corr_lookup import lookup_level_pallas
+    # target-index tuples are static by construction; normalize to
+    # plain ints (a jitted pyramid builder returns them as arrays)
+    pyramid = [
+        (tuple(int(i) for i in idx), vol) for idx, vol in pyramid
+    ]
 
-            feat = lookup_level_pallas(vol, c, radius)
-        else:
-            raise ValueError(method)
-        out_channels.append(feat)
+    out_channels: List[jax.Array] = []
+    if method == "pallas":
+        from bflow_tpu.ops.pallas.corr_lookup import lookup_levels_packed
+
+        # Pack runs of consecutive SMALL levels (row count <= 32 after
+        # padding) with identical target sets into one kernel pass —
+        # their per-query fixed costs dominate and are shared when
+        # packed (ops/pallas/corr_lookup.py:lookup_levels_packed).
+        out_channels = [None] * len(pyramid)
+        i = 0
+        while i < len(pyramid):
+            idx_i = pyramid[i][0]
+            j = i + 1
+            if pyramid[i][1].shape[-2] <= 32:
+                while (
+                    j < len(pyramid)
+                    and pyramid[j][0] == idx_i
+                    and pyramid[j][1].shape[-2] <= 32
+                ):
+                    j += 1
+            cs = [
+                coords[jnp.asarray(idx_i)] / (2.0**k) for k in range(i, j)
+            ]
+            feats = lookup_levels_packed(
+                [pyramid[k][1] for k in range(i, j)], cs, radius
+            )
+            out_channels[i:j] = feats
+            i = j
+    else:
+        for lvl, (target_idx, vol) in enumerate(pyramid):
+            c = coords[jnp.asarray(target_idx)] / (2.0**lvl)
+            if method == "gather":
+                feat = _lookup_level_gather(vol, c, radius)
+            elif method == "onehot":
+                feat = _lookup_level_onehot(vol, c, radius, precision)
+            else:
+                raise ValueError(method)
+            out_channels.append(feat)
 
     # (N, h1, w1, sum_l Tl*win^2), level-major then target then window.
     stacked = jnp.concatenate(

@@ -60,8 +60,23 @@ class Norm(nn.Module):
                 dtype=self.dtype,
             )(x)
         if self.kind == "instance":
-            # statistics in f32 regardless of compute dtype
-            return instance_norm(x.astype(jnp.float32)).astype(x.dtype)
+            if self.dtype is None:
+                # parity mode: pure f32 statistics
+                return instance_norm(x.astype(jnp.float32)).astype(x.dtype)
+            # fast mode: read the bf16 activations directly with f32
+            # accumulation — the f32 up-cast pass doubled the HBM
+            # traffic of this (bandwidth-bound) op
+            mean = jnp.mean(
+                x, axis=(1, 2), keepdims=True, dtype=jnp.float32
+            )
+            var = jnp.mean(
+                jnp.square(x.astype(jnp.float32) - mean),
+                axis=(1, 2), keepdims=True,
+            )
+            return (
+                (x.astype(jnp.float32) - mean)
+                * jax.lax.rsqrt(var + 1e-5)
+            ).astype(x.dtype)
         if self.kind == "none":
             return x
         raise NotImplementedError(self.kind)
@@ -103,16 +118,20 @@ class ResidualBlock(nn.Module):
 
 
 class StemConv(nn.Module):
-    """The 7x7/stride-2 stem with a space-to-depth fast path.
+    """The 7x7/stride-2 stem, direct or space-to-depth.
 
     Declares the canonical (7, 7, C, 64) parameters (checkpoint layout
     unchanged) and either runs the direct strided conv or the exact s2d
-    rewrite below.
+    rewrite below. Measured on the v5e the DIRECT conv wins (6.0 vs
+    13.3 ms at the 20x480x640x15 flagship shape): XLA lays the s2d
+    intermediate out badly for the following conv (an
+    optimization_barrier does not recover it — scripts/exp_encoder2.py),
+    so the classic rewrite loses despite its friendlier contraction.
     """
 
     features: int = 64
     dtype: Any = None
-    use_s2d: bool = True
+    use_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -173,7 +192,7 @@ class BasicEncoder(nn.Module):
     output_dim: int = 128
     norm: str = "batch"
     dtype: Any = None
-    stem_s2d: bool = True  # space-to-depth stem (exact; TPU-friendlier)
+    stem_s2d: bool = False  # s2d stem rewrite (exact, but measured slower)
 
     @nn.compact
     def __call__(
