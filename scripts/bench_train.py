@@ -4,7 +4,11 @@ Not the driver benchmark (bench.py is); this measures the jitted
 fwd+bwd+AdamW step at the DSEC training crop to track training speed.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
