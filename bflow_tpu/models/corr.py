@@ -32,6 +32,15 @@ from bflow_tpu.ops.sampler import bilinear_sample
 # One pyramid level: (base-target indices at this level, volume).
 CorrLevel = Tuple[Tuple[int, ...], jax.Array]
 
+# Levels whose padded row count is <= this are packed into one pallas
+# pass when they share a target set (0 disables packing). Disabled by
+# default: a controlled same-session A/B at the flagship shapes
+# measured the packed composite consistently SLOWER (12.5 vs 11.3
+# ms/iter) — the shared cross-products acquire lane-rotation strip
+# copies and 3x-wide selector builds that outweigh the saved matmul
+# launches, which the software pipeline had already hidden.
+PACK_MAX_ROWS = 0
+
 
 def all_pairs_correlation(
     fmap_ref: jax.Array,
@@ -275,11 +284,11 @@ def corr_lookup(
         while i < len(pyramid):
             idx_i = pyramid[i][0]
             j = i + 1
-            if pyramid[i][1].shape[-2] <= 32:
+            if pyramid[i][1].shape[-2] <= PACK_MAX_ROWS:
                 while (
                     j < len(pyramid)
                     and pyramid[j][0] == idx_i
-                    and pyramid[j][1].shape[-2] <= 32
+                    and pyramid[j][1].shape[-2] <= PACK_MAX_ROWS
                 ):
                     j += 1
             cs = [
