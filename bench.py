@@ -62,9 +62,9 @@ def main() -> None:
 
     best = 0.0
     best_batch = 1
-    # batch 8 is the measured throughput optimum (16 is flat, 1-4 lower);
-    # batch 1 stays as a fallback if a regression ever OOMs the big batch
-    for batch in (1, 8):
+    # batches 8/16 measure within noise of each other (both above 1-4);
+    # batch 1 stays as a fallback if a regression ever OOMs the big ones
+    for batch in (1, 8, 16):
         try:
             voxel, images = make_inputs(batch)
             s = float(forward(variables, voxel, images))  # compile+warmup

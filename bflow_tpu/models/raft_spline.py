@@ -98,10 +98,16 @@ class RAFTSpline(nn.Module):
         fmap_tgts: List[jax.Array] = []
         context_input = None
 
+        # named scopes mirror the reference's per-stage CudaTimer
+        # brackets (raft.py:116-195) for jax.profiler traces — free
+        # under jit (pure metadata), visible with debugging.profiler=jax
         if cfg.use_events:
             assert voxel_grid is not None
-            corr_grids, context_input = self._gen_voxel_grids(voxel_grid)
-            fmaps = self.fnet_ev(corr_grids, train=train)
+            with jax.named_scope("fnet_ev"):
+                corr_grids, context_input = self._gen_voxel_grids(
+                    voxel_grid
+                )
+                fmaps = self.fnet_ev(corr_grids, train=train)
             if cfg.corr_precision == "float32":
                 fmaps = [f.astype(jnp.float32) for f in fmaps]
             ref = fmaps[0]
@@ -112,7 +118,8 @@ class RAFTSpline(nn.Module):
         if cfg.use_images:
             assert images is not None and images.shape[0] == 2
             imgs = 2.0 * (images.astype(jnp.float32) / 255.0) - 1.0
-            f0, f1 = self.fnet_img([imgs[0], imgs[1]], train=train)
+            with jax.named_scope("fnet_img"):
+                f0, f1 = self.fnet_img([imgs[0], imgs[1]], train=train)
             if cfg.corr_precision == "float32":
                 f0 = f0.astype(jnp.float32)
                 f1 = f1.astype(jnp.float32)
@@ -126,16 +133,18 @@ class RAFTSpline(nn.Module):
                 context_input = imgs[0]
         assert context_input is not None
 
-        cnet_out = self.cnet(context_input, train=train)
+        with jax.named_scope("cnet"):
+            cnet_out = self.cnet(context_input, train=train)
         net = nn.tanh(cnet_out[..., : cfg.hidden_dim])
         inp = nn.relu(cnet_out[..., cfg.hidden_dim :])
 
-        pyramid = build_corr_pyramid(
-            jnp.stack(fmap_refs, axis=0),
-            jnp.stack(fmap_tgts, axis=0),
-            cfg.levels_per_target,
-            precision=cfg.corr_precision,
-        )
+        with jax.named_scope("corr_volume"):
+            pyramid = build_corr_pyramid(
+                jnp.stack(fmap_refs, axis=0),
+                jnp.stack(fmap_tgts, axis=0),
+                cfg.levels_per_target,
+                precision=cfg.corr_precision,
+            )
 
         N, H, W, _ = context_input.shape
         assert H % 8 == 0 and W % 8 == 0, (H, W)
@@ -154,19 +163,25 @@ class RAFTSpline(nn.Module):
 
             flows = bezier.flow_at(ts)  # (T, N, h1, w1, 2)
             coords1 = coords0[None] + flows
-            corr = corr_lookup(
-                pyramid, coords1, cfg.radius,
-                method=cfg.lookup_method, precision=cfg.corr_precision,
-            )
+            with jax.named_scope(f"corr_lookup_{itr}"):
+                corr = corr_lookup(
+                    pyramid, coords1, cfg.radius,
+                    method=cfg.lookup_method,
+                    precision=cfg.corr_precision,
+                )
 
             bez_ch = _bezier_to_channels(bezier)
-            net, mask, delta = self.update_block(net, inp, corr, bez_ch)
+            with jax.named_scope(f"update_{itr}"):
+                net, mask, delta = self.update_block(
+                    net, inp, corr, bez_ch
+                )
             bezier = bezier.delta_update(
                 _channels_to_bezier_delta(delta, cfg.bezier_degree)
             )
 
             if not test_mode or itr == iters - 1:
-                bezier_up = bezier.upsampled(mask)
+                with jax.named_scope("upsample"):
+                    bezier_up = bezier.upsampled(mask)
                 predictions.append(bezier_up)
 
         if test_mode:

@@ -242,3 +242,28 @@ def test_packed_levels_match_gather(rng):
         np.testing.assert_allclose(
             np.asarray(dc_p[l]), np.asarray(dc_r[l]), rtol=1e-4, atol=2e-4
         )
+
+
+def test_pallas_lookup_odd_shapes_and_radius(rng):
+    """Pallas path at radius 3 and query widths exercising the ch=4/2/1
+    chunk fallbacks (w1 not a multiple of 8)."""
+    import jax.numpy as jnp
+
+    from bflow_tpu.models.corr import _lookup_level_gather
+    from bflow_tpu.ops.pallas.corr_lookup import lookup_level_pallas
+
+    for (h1, w1, hl, wl, r) in [(6, 12, 32, 18, 3), (5, 10, 16, 9, 2),
+                                (4, 7, 16, 11, 4), (3, 8, 13, 9, 4)]:
+        vol = jnp.asarray(
+            rng.standard_normal((1, 2, h1, w1, hl, wl)), jnp.float32
+        )
+        coords = jnp.asarray(
+            np.stack(
+                [rng.uniform(-4, wl + 3, (1, 2, h1, w1)),
+                 rng.uniform(-4, hl + 3, (1, 2, h1, w1))],
+                -1,
+            ).astype(np.float32)
+        )
+        got = np.asarray(lookup_level_pallas(vol, coords, r, True))
+        want = np.asarray(_lookup_level_gather(vol, coords, r))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
