@@ -106,6 +106,22 @@ def make_grain_loader(
                 return n // batch_size
             return (n + batch_size - 1) // batch_size
 
+        def peek(self):
+            """One deterministic head batch without spawning the Grain
+            worker pool or consuming an epoch (shape/init probing)."""
+            rng = np.random.default_rng(seed)
+            items = []
+            for i in range(min(batch_size, len(dataset))):
+                get_item = getattr(dataset, "get_item", None)
+                items.append(
+                    get_item(i, rng) if get_item is not None else dataset[i]
+                )
+            batch = {
+                k: np.stack([it[k] for it in items])
+                for k in items[0]
+            }
+            return _FixAxes().map(batch)
+
         def __iter__(self):
             it = iter(build(self.epoch))
             self.epoch += 1

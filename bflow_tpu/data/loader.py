@@ -91,6 +91,24 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def peek(self) -> Dict[str, Any]:
+        """One deterministic batch (dataset head) WITHOUT starting the
+        producer pipeline — `next(iter(loader))` abandons an iterator
+        whose prefetch thread then blocks forever on the queue. Used to
+        derive shapes/initialize parameters."""
+        rng = np.random.default_rng(self.seed)
+        items = [
+            self._fetch_with(i, rng)
+            for i in range(min(self.batch_size, len(self.dataset)))
+        ]
+        return _collate(items)
+
+    def _fetch_with(self, index: int, rng):
+        get_item = getattr(self.dataset, "get_item", None)
+        if get_item is not None:
+            return get_item(int(index), rng)
+        return self.dataset[int(index)]
+
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 

@@ -151,7 +151,9 @@ def main(argv=None) -> None:
         monitor, mode = "step", "max"  # DSEC trains without validation
 
     # -- init / optimizer / state -------------------------------------------
-    first_batch = next(iter(loader))
+    # peek() instead of next(iter(loader)): probing shapes must not
+    # start (and then abandon) the producer pipeline or consume an epoch
+    first_batch = loader.peek()
     init_fn = jax.jit(
         lambda v, i: model.init(jax.random.PRNGKey(0), v, i, train=False)
     )

@@ -66,7 +66,7 @@ def main(argv=None) -> None:
         drop_last=False,
     )
 
-    first = next(iter(loader))
+    first = loader.peek()
     variables = jax.jit(
         lambda v, i: model.init(jax.random.PRNGKey(0), v, i, test_mode=True)
     )(
