@@ -38,8 +38,28 @@ CorrLevel = Tuple[Tuple[int, ...], jax.Array]
 # measured the packed composite consistently SLOWER (12.5 vs 11.3
 # ms/iter) — the shared cross-products acquire lane-rotation strip
 # copies and 3x-wide selector builds that outweigh the saved matmul
-# launches, which the software pipeline had already hidden.
+# launches, which the software pipeline had already hidden. Applies to
+# the legacy 'pallas_v2' method only; the default strip-mined v3 kernel
+# has per-query fixed costs small enough that packing has no role.
 PACK_MAX_ROWS = 0
+
+
+# What 'auto' means on TPU. The v4 banded slab kernel (corr_lookup_v3)
+# won the round-3 same-session A/B at flagship shapes: full-pyramid
+# forward 9.4 vs 14.3 ms/iter (B=4, incl. ~2-3 ms dispatch overhead),
+# every level individually faster, fwd+bwd 27.3 vs 30.2 ms.
+_AUTO_TPU_METHOD = "pallas"
+
+
+def resolve_lookup_method(method: str) -> str:
+    """'auto' -> the fast path for the current backend."""
+    if method == "auto":
+        return (
+            _AUTO_TPU_METHOD
+            if jax.default_backend() == "tpu"
+            else "gather"
+        )
+    return method
 
 
 def all_pairs_correlation(
@@ -164,6 +184,29 @@ def build_corr_pyramid(
     return pyramid
 
 
+def build_pyramid_for_method(
+    fmap_ref: jax.Array,
+    fmap_tgt: jax.Array,
+    levels_per_target: Sequence[int],
+    precision: str,
+    method: str,
+) -> List[CorrLevel]:
+    """Pyramid in the volume layout the RESOLVED lookup method consumes:
+    row-slab (Tl, N, h1, hp, w1*wl) for the default pallas v3 kernel
+    (lane-compact in HBM — no padding waste on 80- or 62-wide maps —
+    and strip-sliceable), per-query (.., hp, wl) maps otherwise. The
+    slab transpose runs once per forward; the lookup runs every
+    refinement iteration."""
+    pyramid = build_corr_pyramid(
+        fmap_ref, fmap_tgt, levels_per_target, precision
+    )
+    if method == "pallas":
+        from bflow_tpu.ops.pallas.corr_lookup_v3 import to_slab
+
+        pyramid = [(idx, to_slab(vol)) for idx, vol in pyramid]
+    return pyramid
+
+
 def _lookup_level_gather(vol, c, radius):
     """Exact 4-corner gather (XLA gather op). Reference semantics, but
     slow on TPU: lowers to scalar-core gathers (~200 ms/iter at DSEC val
@@ -250,10 +293,12 @@ def corr_lookup(
       coords: (T, N, h1, w1, 2) query positions per base target, in
         full-resolution volume pixels, (x, y) last.
       radius: window radius r.
-      method: 'auto' (pallas on TPU, gather elsewhere) | 'pallas' (DMA
-        kernel, TPU only) | 'onehot' (MXU matmuls; compiles slowly at
-        scale) | 'gather' (XLA gather — exact oracle, fast on CPU, slow
-        on TPU).
+      method: 'auto' (pallas on TPU, gather elsewhere) | 'pallas'
+        (strip-mined slab kernel, TPU only — pyramid must be in slab
+        layout, see build_pyramid_for_method) | 'pallas_v2' (legacy
+        block-diagonal kernel on per-query maps) | 'onehot' (MXU
+        matmuls; compiles slowly at scale) | 'gather' (XLA gather —
+        exact oracle, fast on CPU, slow on TPU).
       precision: 'float32' | 'bfloat16' for the onehot matmuls.
 
     Returns:
@@ -262,8 +307,7 @@ def corr_lookup(
       contract (corr.py:307-351).
     """
     T, N, h1, w1, _ = coords.shape
-    if method == "auto":
-        method = "pallas" if jax.default_backend() == "tpu" else "gather"
+    method = resolve_lookup_method(method)
 
     # target-index tuples are static by construction; normalize to
     # plain ints (a jitted pyramid builder returns them as arrays)
@@ -273,6 +317,15 @@ def corr_lookup(
 
     out_channels: List[jax.Array] = []
     if method == "pallas":
+        from bflow_tpu.ops.pallas.corr_lookup_v3 import lookup_level_slab
+
+        for lvl, (target_idx, vol) in enumerate(pyramid):
+            assert vol.ndim == 5, (
+                "method='pallas' needs slab volumes "
+                "(build_pyramid_for_method)", vol.shape)
+            c = coords[jnp.asarray(target_idx)] / (2.0**lvl)
+            out_channels.append(lookup_level_slab(vol, c, radius))
+    elif method == "pallas_v2":
         from bflow_tpu.ops.pallas.corr_lookup import lookup_levels_packed
 
         # Pack runs of consecutive SMALL levels (row count <= 32 after

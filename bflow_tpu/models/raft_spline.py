@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from bflow_tpu.models.config import RaftSplineConfig
-from bflow_tpu.models.corr import build_corr_pyramid, corr_lookup
+from bflow_tpu.models.corr import (
+    build_pyramid_for_method,
+    corr_lookup,
+    resolve_lookup_method,
+)
 from bflow_tpu.models.extractor import BasicEncoder
 from bflow_tpu.models.update import BasicUpdateBlock
 from bflow_tpu.ops.bezier import BezierCurves
@@ -138,12 +142,14 @@ class RAFTSpline(nn.Module):
         net = nn.tanh(cnet_out[..., : cfg.hidden_dim])
         inp = nn.relu(cnet_out[..., cfg.hidden_dim :])
 
+        lookup_method = resolve_lookup_method(cfg.lookup_method)
         with jax.named_scope("corr_volume"):
-            pyramid = build_corr_pyramid(
+            pyramid = build_pyramid_for_method(
                 jnp.stack(fmap_refs, axis=0),
                 jnp.stack(fmap_tgts, axis=0),
                 cfg.levels_per_target,
                 precision=cfg.corr_precision,
+                method=lookup_method,
             )
 
         N, H, W, _ = context_input.shape
@@ -166,7 +172,7 @@ class RAFTSpline(nn.Module):
             with jax.named_scope(f"corr_lookup_{itr}"):
                 corr = corr_lookup(
                     pyramid, coords1, cfg.radius,
-                    method=cfg.lookup_method,
+                    method=lookup_method,
                     precision=cfg.corr_precision,
                 )
 

@@ -1,0 +1,489 @@
+"""Pallas TPU kernel v4: banded windowed bilinear correlation lookup.
+
+Lookup for the RAFT window op (reference: /root/reference/models/
+raft_utils/corr.py:307-351): every query pixel owns a private (hl, wl)
+correlation map and reads one bilinear (2r+1)^2 window around its
+(x, y) coordinate, grid_sample zero padding outside the map.
+
+Design history (round 3). The r2 kernel (corr_lookup.py) spends
+~35 ns/query, bound by a balanced mix of MXU junk work (each chunk
+contraction computes every query's taps against all 8 chunk-mates'
+maps) and per-query VPU work (strip copies, block-diagonal assembly,
+window writes). Two round-3 variants were measured on hardware:
+strips pulled per query via dynamic-sublane slices (VPU-bound, ~par
+with r2) and scalar-predicated static copies (2x slower — branch
+overhead). The winning structure eliminates per-query data movement on
+the INPUT side entirely:
+
+  * Volume layout — "row slab": (Tl, N, h1, hp, w1p*wlp). For each
+    query-grid row i, a slab whose sublanes are the map row y and
+    whose lanes are (query j, map column x), with the per-query band
+    padded to wlp = roundup(wl, 16) zero columns and hp = roundup(hl,
+    16) zero rows (zero-padded FEATURES make the pad correlations
+    exact grid_sample zero padding). Lane-compact minor dim kills the
+    1.6-2.1x HBM padding of the r2 (.., hp, wl) layout.
+  * Per 8-query chunk, the y-blend contracts the slab columns
+    DIRECTLY — no strip copies, no alignment games, nothing dynamic:
+      EY2 (128, hp)   absolute-position y-hat taps   (4 VPU ops)
+      R'  = EY2 @ V[:, chunk lanes]    (hp, 8*wlp)   (MXU)
+    R' holds each query's y-blended rows in its own 16-aligned lane
+    band; off-band values are junk that is never read.
+  * Band gather: 8 aligned (16, wlp) copies assemble S2 (128, wlp),
+    then OUT = S2 @ ExT[:, chunk] ((wlp, 128) x-hat taps, built once
+    per row) and the (win, win) diagonal blocks stream out.
+
+Per chunk that is ~2 small contractions + 8 aligned vreg copies + one
+(128, hp) selector build — about half the r2 MXU work and a third of
+its VPU work, with no dynamic indexing anywhere.
+
+Backward (custom VJP), same structure transposed:
+    dS2  = Gbd @ ExN[chunk]            (128, wlp)
+    dR'  = place bands of dS2          (zero background written once)
+    dV   = EY2T @ dR'                  full (hp, 8*wlp) STATIC store
+    P_x  = S2 @ dExT[:, chunk];  dx = rowsum(Gbd o P_x) group-sum
+    P_y  = bands(dEY2 @ V) @ ExT[:, chunk];  dy likewise
+dV writes every chunk's full lane band once — no read-modify-write, no
+zero-fill of the output, no collisions (padded queries q >= w1 own
+their own zero bands).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWPAD = 16  # slab row padding: hp = roundup(hl, 16)
+COLPAD = 16  # per-query band padding: wlp = roundup(wl, 16)
+WINP = 16  # tap stride per query: CH * WINP = 128 = one lane tile
+CH = 8  # queries per chunk
+
+_FAR = -1.0e6  # tap position with zero hat weight everywhere
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _precision(dt):
+    # f32 volumes need HIGHEST (a single-pass bf16 MXU product would
+    # round the correlation values); bf16 volumes take the fast pass.
+    return (
+        jax.lax.Precision.HIGHEST
+        if dt == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _hat(pos, n, axis):
+    """Bilinear tap weights relu(1 - |pos - grid|) (grid_sample blend;
+    zero outside the map). pos is (1, W) [axis=0 -> (n, W)] or (W, 1)
+    [axis=1 -> (W, n)] so each MXU consumer gets its canonical
+    orientation without in-kernel transposes."""
+    shape = (n, pos.shape[-1]) if axis == 0 else (pos.shape[0], n)
+    g = jax.lax.broadcasted_iota(jnp.int32, shape, axis).astype(jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos - g))
+
+
+def _dhat(pos, n, axis):
+    """d(hat)/d(pos): [grid == floor(pos)+1] - [grid == floor(pos)]."""
+    shape = (n, pos.shape[-1]) if axis == 0 else (pos.shape[0], n)
+    g = jax.lax.broadcasted_iota(jnp.int32, shape, axis).astype(jnp.float32)
+    f = jnp.floor(pos)
+    return (g == f + 1.0).astype(jnp.float32) - (g == f).astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    xp_ref, yc_ref, vol_ref, out_ref, s2_scr, d_scr, *, w1p, win, hp, wlp,
+    ri,
+):
+    dt = vol_ref.dtype
+    prec = _precision(dt)
+    nch = w1p // CH
+    cb = CH * wlp  # chunk band lanes
+    for rl in range(ri):
+        exT = _hat(xp_ref[0, rl], wlp, 0).astype(dt)  # (wlp, w1p*WINP)
+        for c in range(nch):
+            # y-blend straight off the slab: no per-query input movement
+            yv = yc_ref[0, rl, :, c : c + 1]  # (128, 1) abs y taps
+            ey2 = _hat(yv, hp, 1).astype(dt)  # (128, hp)
+            rp = jax.lax.dot_general(
+                ey2, vol_ref[0, rl, :, c * cb : (c + 1) * cb],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(dt)
+            # gather each query's 16-aligned lane band
+            for ql in range(CH):
+                s2_scr[ql * WINP : (ql + 1) * WINP, :] = rp[
+                    ql * WINP : (ql + 1) * WINP,
+                    ql * wlp : (ql + 1) * wlp,
+                ]
+            out = jax.lax.dot_general(
+                s2_scr[:], exT[:, c * 128 : (c + 1) * 128],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            # diagonal (16, 16) blocks -> one packed (16, 128) tile:
+            # sublane-only shifts + a single aligned store (the naive
+            # per-query (9, 9) sub-tile writes dominated the kernel)
+            for ql in range(CH):
+                s = ql * WINP
+                d_scr[:, s : s + WINP] = out[s : s + WINP, s : s + WINP
+                                             ].astype(dt)
+            out_ref[0, rl, c] = d_scr[:]
+
+
+def _unpack_windows(packed, w1, win):
+    """(TN, h1, nch, WINP, CH*WINP) diagonal-packed tiles ->
+    (TN, h1, w1, win, win) windows (one fused XLA copy)."""
+    tn, h1, nch = packed.shape[:3]
+    x = packed.reshape(tn, h1, nch, WINP, CH, WINP)
+    x = x.transpose(0, 1, 2, 4, 3, 5).reshape(
+        tn, h1, nch * CH, WINP, WINP
+    )
+    return x[:, :, :w1, :win, :win]
+
+
+def _pack_windows(g, w1p, win):
+    """(TN, h1, w1, win, win) cotangents -> diagonal-packed
+    (TN, h1, nch, WINP, CH*WINP) tiles (inverse of _unpack_windows)."""
+    tn, h1, w1 = g.shape[:3]
+    g = jnp.pad(
+        g,
+        ((0, 0), (0, 0), (0, w1p - w1),
+         (0, WINP - win), (0, WINP - win)),
+    )
+    x = g.reshape(tn, h1, w1p // CH, CH, WINP, WINP)
+    return x.transpose(0, 1, 2, 4, 3, 5).reshape(
+        tn, h1, w1p // CH, WINP, CH * WINP
+    )
+
+
+def _prep_positions(coords, radius, w1p):
+    """Host-side tap precomputation. coords: (TN, h1, w1, 2). Returns
+      xp (TN, h1, 1, w1p*WINP) f32 — x tap positions (band-local),
+      yc (TN, h1, 128, nch) f32 — absolute y tap positions, one
+        (CH*WINP,) column per chunk.
+    A naive (.., W, 1) column tensor gets its unit minor dim padded to
+    128 lanes in HBM (hundreds of MB per call at flagship shapes); the
+    chunk-column layout keeps it ~W*128/W1P bytes and the kernel slices
+    a ready-made (128, 1) column per chunk. Padded queries (w1..w1p)
+    get _FAR positions (zero hat weight)."""
+    tn, h1, w1, _ = coords.shape
+    offs = jnp.arange(WINP, dtype=jnp.float32) - float(radius)
+    xp = coords[..., 0:1] + offs  # (TN, h1, w1, WINP)
+    yl = coords[..., 1:2] + offs
+    if w1p != w1:
+        pad = ((0, 0), (0, 0), (0, w1p - w1), (0, 0))
+        xp = jnp.pad(xp, pad, constant_values=_FAR)
+        yl = jnp.pad(yl, pad, constant_values=_FAR)
+    nch = w1p // CH
+    yc = yl.reshape(tn, h1, nch, CH * WINP).transpose(0, 1, 3, 2)
+    return xp.reshape(tn, h1, 1, w1p * WINP), yc
+
+
+def _row_spec(ri, w):
+    return pl.BlockSpec(
+        (1, ri, 1, w), lambda t, i: (t, i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _col_spec(ri, w):
+    return pl.BlockSpec(
+        (1, ri, w, 1), lambda t, i: (t, i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _chunkcol_spec(ri, nch):
+    return pl.BlockSpec(
+        (1, ri, CH * WINP, nch),
+        lambda t, i: (t, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _slab_spec(ri, hp, lanes):
+    return pl.BlockSpec(
+        (1, ri, hp, lanes),
+        lambda t, i: (t, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _pick_ri(h1, per_row_bytes):
+    """Rows per program: amortize grid overhead on small levels while
+    keeping the (double-buffered) working set well inside VMEM."""
+    for ri in (6, 5, 4, 3, 2):
+        if h1 % ri == 0 and ri * per_row_bytes < 2_500_000:
+            return ri
+    return 1
+
+
+def _fwd_impl(vol, coords, radius, interpret):
+    Tl, N, h1, hp, lanes = vol.shape
+    w1 = coords.shape[3]
+    w1p = _round_up(w1, CH)
+    assert lanes % w1p == 0, (vol.shape, w1p)
+    wlp = lanes // w1p
+    assert hp % ROWPAD == 0 and wlp % COLPAD == 0, vol.shape
+    win = 2 * radius + 1
+    assert 2 * radius + 2 <= WINP, radius
+
+    volr = vol.reshape(Tl * N, h1, hp, lanes)
+    xp, yc = _prep_positions(
+        coords.reshape(Tl * N, h1, w1, 2), radius, w1p
+    )
+    ri = _pick_ri(h1, hp * lanes * vol.dtype.itemsize)
+
+    nch = w1p // CH
+    packed = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, w1p=w1p, win=win, hp=hp, wlp=wlp, ri=ri
+        ),
+        grid=(Tl * N, h1 // ri),
+        in_specs=[
+            _row_spec(ri, w1p * WINP),
+            _chunkcol_spec(ri, nch),
+            _slab_spec(ri, hp, lanes),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ri, nch, WINP, CH * WINP),
+            lambda t, i: (t, i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (Tl * N, h1, nch, WINP, CH * WINP), vol.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CH * WINP, wlp), vol.dtype),
+            pltpu.VMEM((WINP, CH * WINP), vol.dtype),
+        ],
+        interpret=interpret,
+    )(xp, yc, volr)
+
+    out = _unpack_windows(packed, w1, win)
+    return out.reshape(Tl, N, h1, w1, win * win)
+
+
+# --------------------------------------------------------------------------
+# backward
+# --------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    xr_ref, xc_ref, yc_ref, yr_ref, vol_ref, g_ref,
+    dvol_ref, dxy_ref, s2_scr, g_scr, dr_scr, *, w1p, win, hp, wlp, ri
+):
+    dt = vol_ref.dtype
+    prec = _precision(dt)
+    nch = w1p // CH
+    cb = CH * wlp
+
+    # group-sum: row q sums its WINP-tap strip of a (128,) column
+    gs = (
+        jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 1) // WINP
+        == jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 0)
+    ).astype(jnp.float32)
+
+    # off-band/off-diagonal backgrounds are written once; every chunk
+    # overwrites the same band/diagonal positions
+    g_scr[...] = jnp.zeros_like(g_scr)
+    dr_scr[...] = jnp.zeros_like(dr_scr)
+
+    def dot(a, b, p=prec):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=p,
+        )
+
+    for rl in range(ri):
+        exT = _hat(xr_ref[0, rl], wlp, 0).astype(dt)  # (wlp, W)
+        dexT = _dhat(xr_ref[0, rl], wlp, 0).astype(dt)
+        for c in range(nch):
+            yv = yc_ref[0, rl, :, c : c + 1]  # (128, 1)
+            yr = yr_ref[0, rl, :, c * 128 : (c + 1) * 128]  # (1, 128)
+            xv = xc_ref[0, rl, :, c : c + 1]  # (128, 1)
+            ey2 = _hat(yv, hp, 1).astype(dt)  # (128, hp)
+            dey2 = _dhat(yv, hp, 1).astype(dt)
+            ey2T = _hat(yr, hp, 0).astype(dt)  # (hp, 128)
+            exN = _hat(xv, wlp, 1).astype(dt)  # (128, wlp) chunk-built
+            vband = vol_ref[0, rl, :, c * cb : (c + 1) * cb]
+
+            # Gbd from the packed (WINP, CH*WINP) cotangent tile:
+            # per-query sublane-only shifts (lane positions unchanged)
+            gtile = g_ref[0, rl, c].astype(dt)
+            for ql in range(CH):
+                s = ql * WINP
+                g_scr[s : s + WINP, s : s + WINP] = gtile[:, s : s + WINP]
+
+            # ---- dVol ------------------------------------------------
+            ds2 = dot(g_scr[:], exN).astype(dt)
+            for ql in range(CH):
+                dr_scr[
+                    ql * WINP : (ql + 1) * WINP,
+                    ql * wlp : (ql + 1) * wlp,
+                ] = ds2[ql * WINP : (ql + 1) * WINP, :]
+            dvol_ref[0, rl, :, c * cb : (c + 1) * cb] = dot(
+                ey2T, dr_scr[:]
+            ).astype(dt)
+
+            # ---- dcoords ---------------------------------------------
+            rp = dot(ey2, vband).astype(dt)
+            rpy = dot(dey2, vband).astype(dt)
+            for ql in range(CH):
+                s2_scr[0, ql * WINP : (ql + 1) * WINP, :] = rp[
+                    ql * WINP : (ql + 1) * WINP,
+                    ql * wlp : (ql + 1) * wlp,
+                ]
+                s2_scr[1, ql * WINP : (ql + 1) * WINP, :] = rpy[
+                    ql * WINP : (ql + 1) * WINP,
+                    ql * wlp : (ql + 1) * wlp,
+                ]
+            p_x = dot(s2_scr[0], dexT[:, c * 128 : (c + 1) * 128])
+            p_y = dot(s2_scr[1], exT[:, c * 128 : (c + 1) * 128])
+            gf = g_scr[:].astype(jnp.float32)
+            rx = jnp.sum(gf * p_x, axis=1, keepdims=True)  # (128, 1)
+            ry = jnp.sum(gf * p_y, axis=1, keepdims=True)
+            # HIGHEST regardless of dtype: a bf16 pass would round the
+            # f32 row-sums to 2^-9
+            dx = dot(gs, rx, jax.lax.Precision.HIGHEST)
+            dy = dot(gs, ry, jax.lax.Precision.HIGHEST)
+            dxy_ref[0, rl, c * CH : (c + 1) * CH, 0:1] = dx
+            dxy_ref[0, rl, c * CH : (c + 1) * CH, 1:2] = dy
+
+
+def _bwd_impl(vol, coords, g, radius, interpret):
+    Tl, N, h1, hp, lanes = vol.shape
+    w1 = coords.shape[3]
+    win = 2 * radius + 1
+    w1p = _round_up(w1, CH)
+    wlp = lanes // w1p
+
+    volr = vol.reshape(Tl * N, h1, hp, lanes)
+    gr = _pack_windows(
+        g.reshape(Tl * N, h1, w1, win, win), w1p, win
+    )
+    xp, yc = _prep_positions(
+        coords.reshape(Tl * N, h1, w1, 2), radius, w1p
+    )
+    nch = w1p // CH
+    xc = (
+        xp.reshape(Tl * N, h1, nch, CH * WINP).transpose(0, 1, 3, 2)
+    )
+    yr = (
+        yc.transpose(0, 1, 3, 2).reshape(Tl * N, h1, 1, w1p * WINP)
+    )
+    ri = _pick_ri(h1, 2 * hp * lanes * vol.dtype.itemsize)
+
+    dvolr, dxy = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, w1p=w1p, win=win, hp=hp, wlp=wlp, ri=ri
+        ),
+        grid=(Tl * N, h1 // ri),
+        in_specs=[
+            _row_spec(ri, w1p * WINP),
+            _chunkcol_spec(ri, nch),
+            _chunkcol_spec(ri, nch),
+            _row_spec(ri, w1p * WINP),
+            _slab_spec(ri, hp, lanes),
+            pl.BlockSpec(
+                (1, ri, w1p // CH, WINP, CH * WINP),
+                lambda t, i: (t, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            _slab_spec(ri, hp, lanes),
+            pl.BlockSpec(
+                (1, ri, w1p, 2),
+                lambda t, i: (t, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Tl * N, h1, hp, lanes), vol.dtype),
+            jax.ShapeDtypeStruct((Tl * N, h1, w1p, 2), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CH * WINP, wlp), vol.dtype),  # band gathers
+            pltpu.VMEM((128, 128), vol.dtype),  # Gbd
+            pltpu.VMEM((CH * WINP, CH * wlp), vol.dtype),  # dR' placement
+        ],
+        interpret=interpret,
+    )(xp, xc, yc, yr, volr, gr)
+
+    dvol = dvolr.reshape(Tl, N, h1, hp, lanes)
+    dcoords = dxy[:, :, :w1].reshape(Tl, N, h1, w1, 2).astype(coords.dtype)
+    return dvol, dcoords
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _lookup_cvjp(vol, coords, radius, interpret):
+    return _fwd_impl(vol, coords, radius, interpret)
+
+
+def _vjp_fwd(vol, coords, radius, interpret):
+    return _fwd_impl(vol, coords, radius, interpret), (vol, coords)
+
+
+def _vjp_bwd(radius, interpret, residuals, g):
+    vol, coords = residuals
+    return _bwd_impl(vol, coords, g, radius, interpret)
+
+
+_lookup_cvjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+
+def to_slab(vol: jax.Array, w1p=None) -> jax.Array:
+    """(Tl, N, h1, w1, hp, wl) query-map volume -> row-slab layout
+    (Tl, N, h1, hp, w1p*wlp): per-query bands zero-padded to wlp =
+    roundup(wl, 16) columns, query count padded to w1p = roundup(w1, 8)
+    zero bands. One HBM transpose per forward; the lookup then runs
+    every refinement iteration on the compact slab."""
+    Tl, N, h1, w1, hp, wl = vol.shape
+    if w1p is None:
+        w1p = _round_up(w1, CH)
+    wlp = _round_up(wl, COLPAD)
+    if wlp != wl or w1p != w1:
+        vol = jnp.pad(
+            vol,
+            ((0, 0),) * 3 + ((0, w1p - w1), (0, 0), (0, wlp - wl)),
+        )
+    return vol.transpose(0, 1, 2, 4, 3, 5).reshape(
+        Tl, N, h1, hp, w1p * wlp
+    )
+
+
+def lookup_level_slab(
+    vol_slab: jax.Array,
+    coords: jax.Array,
+    radius: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Windowed bilinear lookup on a row-slab volume (differentiable).
+
+    Args:
+      vol_slab: (Tl, N, h1, hp, w1p*wlp) slab volume from to_slab();
+        zero pad rows/columns reproduce grid_sample zero padding
+        because they correlate zero features.
+      coords: (Tl, N, h1, w1, 2) query positions in this level's map
+        pixels, (x, y) last.
+      radius: window radius r (2r+2 <= 16).
+
+    Returns:
+      (Tl, N, h1, w1, (2r+1)^2) window features, dy-major, vol dtype.
+    """
+    return _lookup_cvjp(vol_slab, coords, radius, interpret)

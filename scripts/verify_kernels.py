@@ -25,6 +25,10 @@ def main() -> None:
         build_corr_pyramid,
     )
     from bflow_tpu.ops.pallas.corr_lookup import lookup_level_pallas
+    from bflow_tpu.ops.pallas.corr_lookup_v3 import (
+        lookup_level_slab,
+        to_slab,
+    )
     from bflow_tpu.ops.sampler import coords_grid
 
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 2
@@ -64,16 +68,25 @@ def main() -> None:
         def f_pal(v, c):
             return (lookup_level_pallas(v, c, cfg.radius) * gvec).sum()
 
+        def f_v4(v, c):
+            return (
+                lookup_level_slab(to_slab(v), c, cfg.radius) * gvec
+            ).sum()
+
         def f_ref(v, c):
             return (_lookup_level_gather(v, c, cfg.radius) * gvec).sum()
 
         out_p = jax.jit(
             lambda v, c: lookup_level_pallas(v, c, cfg.radius)
         )(vol, coords)
+        out_4 = jax.jit(
+            lambda v, c: lookup_level_slab(to_slab(v), c, cfg.radius)
+        )(vol, coords)
         out_g = jax.jit(
             lambda v, c: _lookup_level_gather(v, c, cfg.radius)
         )(vol, coords)
         dv_p, dc_p = jax.jit(jax.grad(f_pal, argnums=(0, 1)))(vol, coords)
+        dv_4, dc_4 = jax.jit(jax.grad(f_v4, argnums=(0, 1)))(vol, coords)
         dv_g, dc_g = jax.jit(jax.grad(f_ref, argnums=(0, 1)))(vol, coords)
 
         def err(a, b):
@@ -81,16 +94,17 @@ def main() -> None:
             den = np.maximum(np.abs(b).max(), 1e-12)
             return np.abs(a - b).max(), np.abs(a - b).max() / den
 
-        e_fwd = err(out_p, out_g)
-        e_dv = err(dv_p, dv_g)
-        e_dc = err(dc_p, dc_g)
-        print(
-            f"level {lvl} vol{tuple(vol.shape)}: "
-            f"fwd abs={e_fwd[0]:.2e} rel={e_fwd[1]:.2e}  "
-            f"dvol abs={e_dv[0]:.2e} rel={e_dv[1]:.2e}  "
-            f"dcoords abs={e_dc[0]:.2e} rel={e_dc[1]:.2e}"
-        )
-        ok &= e_fwd[1] < 1e-5 and e_dv[1] < 1e-5 and e_dc[1] < 1e-4
+        for tag, (e_fwd, e_dv, e_dc) in (
+            ("v2", (err(out_p, out_g), err(dv_p, dv_g), err(dc_p, dc_g))),
+            ("v4", (err(out_4, out_g), err(dv_4, dv_g), err(dc_4, dc_g))),
+        ):
+            print(
+                f"level {lvl} {tag} vol{tuple(vol.shape)}: "
+                f"fwd abs={e_fwd[0]:.2e} rel={e_fwd[1]:.2e}  "
+                f"dvol abs={e_dv[0]:.2e} rel={e_dv[1]:.2e}  "
+                f"dcoords abs={e_dc[0]:.2e} rel={e_dc[1]:.2e}"
+            )
+            ok &= e_fwd[1] < 1e-5 and e_dv[1] < 1e-5 and e_dc[1] < 1e-4
 
     # packed small levels (the production path groups levels 1..3)
     from bflow_tpu.ops.pallas.corr_lookup import lookup_levels_packed
