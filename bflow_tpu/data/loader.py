@@ -74,6 +74,7 @@ class Loader:
         seed: int = 0,
         drop_last: bool = True,
         prefetch_batches: int = 2,
+        shard: "tuple[int, int] | None" = None,
     ):
         assert batch_size >= 1
         self.dataset = dataset
@@ -84,9 +85,23 @@ class Loader:
         self.drop_last = drop_last
         self.prefetch = max(1, prefetch_batches)
         self.epoch = 0
+        # (rank, world): multi-host data feeding — every host builds the
+        # SAME (seed, epoch)-keyed global order and takes the strided
+        # slice order[rank::world] (truncated to equal length), so the
+        # union over hosts is a disjoint cover of the global epoch.
+        self.shard = shard
+        if shard is not None:
+            rank, world = shard
+            assert 0 <= rank < world, shard
+
+    def _epoch_len(self) -> int:
+        n = len(self.dataset)
+        if self.shard is not None:
+            n = n // self.shard[1]
+        return n
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._epoch_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -128,6 +143,9 @@ class Loader:
             order = np.random.default_rng(
                 np.random.SeedSequence((self.seed, self.epoch))
             ).permutation(n)
+        if self.shard is not None:
+            rank, world = self.shard
+            order = order[rank :: world][: self._epoch_len()]
         nb = len(self)
         batches = [
             order[i * self.batch_size : (i + 1) * self.batch_size]

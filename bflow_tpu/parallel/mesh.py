@@ -62,12 +62,24 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """
     from bflow_tpu.data.keys import DataLoading as K
 
+    multi_host = jax.process_count() > 1
+
     def place(key, leaf):
         if not hasattr(leaf, "ndim") or leaf.ndim == 0:
             return leaf
         axis = 1 if key in (K.IMG.value,) and leaf.ndim >= 4 else 0
         if key == K.FLOW.value and leaf.ndim == 5:
             axis = 1  # (M, N, H, W, 2) multi-timestamp stack
-        return jax.device_put(leaf, batch_sharding(mesh, axis))
+        sharding = batch_sharding(mesh, axis)
+        if multi_host:
+            # each host loaded only ITS slice of the global batch
+            # (Loader(shard=...) / Grain ShardByJaxProcess) — assemble
+            # the global jax.Array from the process-local shards
+            global_shape = list(leaf.shape)
+            global_shape[axis] *= jax.process_count()
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(leaf), tuple(global_shape)
+            )
+        return jax.device_put(leaf, sharding)
 
     return {k: place(k, v) for k, v in batch.items()}

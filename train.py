@@ -130,13 +130,27 @@ def main(argv=None) -> None:
         2 * batch_size, 16
     )
     loader_kind = config["hardware"].get("loader") or "threaded"
+    # Multi-host data feeding: each host loads ONLY its slice of the
+    # global batch. Grain shards by jax process internally
+    # (ShardByJaxProcess); the threaded loader takes an explicit
+    # (rank, world) strided shard of the per-epoch global order.
+    # shard_batch() then assembles global arrays from the local shards.
+    n_proc = jax.process_count()
+    loader_kw = {}
+    host_batch = batch_size
+    if n_proc > 1:
+        assert batch_size % n_proc == 0, (batch_size, n_proc)
+        host_batch = batch_size // n_proc
+        if loader_kind == "threaded":
+            loader_kw["shard"] = (jax.process_index(), n_proc)
     loader = make_loader(
         train_ds,
         kind=loader_kind,
-        batch_size=batch_size,
+        batch_size=host_batch,
         shuffle=True,
         num_workers=num_workers,
         seed=0,
+        **loader_kw,
     )
 
     if dataset_name == "multiflow_regen":
@@ -303,9 +317,10 @@ def main(argv=None) -> None:
                 val_loader = make_loader(
                     provider.get_val_dataset(),
                     kind=loader_kind,
-                    batch_size=batch_size,
+                    batch_size=host_batch,
                     shuffle=False,
                     num_workers=num_workers,
+                    **loader_kw,
                 )
                 n_val = limit_batches(
                     train_cfg.get("limit_val_batches"), len(val_loader)
