@@ -20,6 +20,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 from bflow_tpu.data.keys import DataLoading as K
+from bflow_tpu.data.loader import _collate
 
 
 def make_grain_loader(
@@ -100,8 +101,19 @@ def make_grain_loader(
         def __init__(self):
             self.epoch = 0
 
+        def set_epoch(self, epoch: int) -> None:
+            """Pin the shuffle epoch (trainer calls this every epoch so
+            resumed runs reshuffle from the resumed epoch, not 0)."""
+            self.epoch = epoch
+
         def __len__(self) -> int:
             n = len(dataset)
+            if shard_by_process:
+                # ShardByJaxProcess(drop_remainder=True): each process
+                # sees floor(n / P) records
+                import jax
+
+                n = n // jax.process_count()
             if drop_remainder:
                 return n // batch_size
             return (n + batch_size - 1) // batch_size
@@ -116,11 +128,10 @@ def make_grain_loader(
                 items.append(
                     get_item(i, rng) if get_item is not None else dataset[i]
                 )
-            batch = {
-                k: np.stack([it[k] for it in items])
-                for k in items[0]
-            }
-            return _FixAxes().map(batch)
+            # same recursive collation as the threaded loader — nested
+            # dict leaves (e.g. MultiFlow BIN_META) stay dicts of
+            # arrays, and IMG/FLOW axis conventions are applied inside
+            return _collate(items)
 
         def __iter__(self):
             it = iter(build(self.epoch))
