@@ -29,9 +29,12 @@ import pytest
 
 REF = pathlib.Path("/root/reference")
 
-pytestmark = pytest.mark.skipif(
-    not (REF / "models").is_dir(), reason="reference tree unavailable"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not (REF / "models").is_dir(), reason="reference tree unavailable"
+    ),
+]
 
 
 def _load_reference_raft():
