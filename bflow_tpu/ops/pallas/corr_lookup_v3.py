@@ -58,14 +58,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROWPAD = 16  # slab row padding: hp = roundup(hl, 16)
 COLPAD = 16  # per-query band padding: wlp = roundup(wl, 16)
-WINP = 16  # tap stride per query: CH * WINP = 128 = one lane tile
-CH = 8  # queries per chunk
+WINP = 16  # tap stride per query
 
 _FAR = -1.0e6  # tap position with zero hat weight everywhere
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def pick_ch(w1: int, wlp: int) -> int:
+    """Queries per kernel chunk. Per-chunk fixed costs (matmul issue,
+    loop bookkeeping) dominate the small pyramid levels; the measured
+    same-session A/B (scripts/exp_ch_ab.py, v5e) says the wider
+    16-query chunk wins ONLY on the deepest levels (wlp == 16:
+    1.60 -> 0.85 ms/iter) and loses on every wider level. Only pick 16
+    when it does not change w1p, so the slab layout is ch-independent
+    and (w1, lanes) alone determine the chunking."""
+    if wlp == 16 and _round_up(w1, 16) == _round_up(w1, 8):
+        return 16
+    return 8
+
+
+def _resolve_chunking(w1: int, lanes: int):
+    """(w1, lanes) -> (ch, w1p, wlp), consistent with to_slab."""
+    w1p = _round_up(w1, 8)
+    assert lanes % w1p == 0, (w1, lanes)
+    wlp = lanes // w1p
+    return pick_ch(w1, wlp), w1p, wlp
 
 
 def _precision(dt):
@@ -103,79 +123,90 @@ def _dhat(pos, n, axis):
 
 def _fwd_kernel(
     xp_ref, yc_ref, vol_ref, out_ref, s2_scr, d_scr, *, w1p, win, hp, wlp,
-    ri,
+    ri, ch,
 ):
     dt = vol_ref.dtype
     prec = _precision(dt)
-    nch = w1p // CH
-    cb = CH * wlp  # chunk band lanes
+    nch = w1p // ch
+    cb = ch * wlp  # chunk band lanes
+    cw = ch * WINP  # chunk tap lanes
+
+    def yblend(rl, c):
+        # y-blend straight off the slab: no per-query input movement
+        yv = yc_ref[0, rl, :, c : c + 1]  # (cw, 1) abs y taps
+        ey2 = _hat(yv, hp, 1).astype(dt)  # (cw, hp)
+        return jax.lax.dot_general(
+            ey2, vol_ref[0, rl, :, c * cb : (c + 1) * cb],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dt)
+
+    # software pipeline (depth 1): chunk c+1's y-blend contraction is
+    # issued before chunk c's VPU-side band gather / window packing
+    # consumes rp, so the MXU stays busy under the vector work
+    rp = yblend(0, 0)
     for rl in range(ri):
         exT = _hat(xp_ref[0, rl], wlp, 0).astype(dt)  # (wlp, w1p*WINP)
         for c in range(nch):
-            # y-blend straight off the slab: no per-query input movement
-            yv = yc_ref[0, rl, :, c : c + 1]  # (128, 1) abs y taps
-            ey2 = _hat(yv, hp, 1).astype(dt)  # (128, hp)
-            rp = jax.lax.dot_general(
-                ey2, vol_ref[0, rl, :, c * cb : (c + 1) * cb],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            ).astype(dt)
+            nrl, nc = (rl, c + 1) if c + 1 < nch else (rl + 1, 0)
+            rp_next = yblend(nrl, nc) if nrl < ri else None
             # gather each query's 16-aligned lane band
-            for ql in range(CH):
+            for ql in range(ch):
                 s2_scr[ql * WINP : (ql + 1) * WINP, :] = rp[
                     ql * WINP : (ql + 1) * WINP,
                     ql * wlp : (ql + 1) * wlp,
                 ]
             out = jax.lax.dot_general(
-                s2_scr[:], exT[:, c * 128 : (c + 1) * 128],
+                s2_scr[:], exT[:, c * cw : (c + 1) * cw],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
-            # diagonal (16, 16) blocks -> one packed (16, 128) tile:
+            # diagonal (16, 16) blocks -> one packed (16, cw) tile:
             # sublane-only shifts + a single aligned store (the naive
             # per-query (9, 9) sub-tile writes dominated the kernel)
-            for ql in range(CH):
+            for ql in range(ch):
                 s = ql * WINP
                 d_scr[:, s : s + WINP] = out[s : s + WINP, s : s + WINP
                                              ].astype(dt)
             out_ref[0, rl, c] = d_scr[:]
+            rp = rp_next
 
 
-def _unpack_windows(packed, w1, win):
-    """(TN, h1, nch, WINP, CH*WINP) diagonal-packed tiles ->
+def _unpack_windows(packed, w1, win, ch):
+    """(TN, h1, nch, WINP, ch*WINP) diagonal-packed tiles ->
     (TN, h1, w1, win, win) windows (one fused XLA copy)."""
     tn, h1, nch = packed.shape[:3]
-    x = packed.reshape(tn, h1, nch, WINP, CH, WINP)
+    x = packed.reshape(tn, h1, nch, WINP, ch, WINP)
     x = x.transpose(0, 1, 2, 4, 3, 5).reshape(
-        tn, h1, nch * CH, WINP, WINP
+        tn, h1, nch * ch, WINP, WINP
     )
     return x[:, :, :w1, :win, :win]
 
 
-def _pack_windows(g, w1p, win):
+def _pack_windows(g, w1p, win, ch):
     """(TN, h1, w1, win, win) cotangents -> diagonal-packed
-    (TN, h1, nch, WINP, CH*WINP) tiles (inverse of _unpack_windows)."""
+    (TN, h1, nch, WINP, ch*WINP) tiles (inverse of _unpack_windows)."""
     tn, h1, w1 = g.shape[:3]
     g = jnp.pad(
         g,
         ((0, 0), (0, 0), (0, w1p - w1),
          (0, WINP - win), (0, WINP - win)),
     )
-    x = g.reshape(tn, h1, w1p // CH, CH, WINP, WINP)
+    x = g.reshape(tn, h1, w1p // ch, ch, WINP, WINP)
     return x.transpose(0, 1, 2, 4, 3, 5).reshape(
-        tn, h1, w1p // CH, WINP, CH * WINP
+        tn, h1, w1p // ch, WINP, ch * WINP
     )
 
 
-def _prep_positions(coords, radius, w1p):
+def _prep_positions(coords, radius, w1p, ch):
     """Host-side tap precomputation. coords: (TN, h1, w1, 2). Returns
       xp (TN, h1, 1, w1p*WINP) f32 — x tap positions (band-local),
-      yc (TN, h1, 128, nch) f32 — absolute y tap positions, one
-        (CH*WINP,) column per chunk.
+      yc (TN, h1, ch*WINP, nch) f32 — absolute y tap positions, one
+        (ch*WINP,) column per chunk.
     A naive (.., W, 1) column tensor gets its unit minor dim padded to
     128 lanes in HBM (hundreds of MB per call at flagship shapes); the
     chunk-column layout keeps it ~W*128/W1P bytes and the kernel slices
-    a ready-made (128, 1) column per chunk. Padded queries (w1..w1p)
+    a ready-made (ch*WINP, 1) column per chunk. Padded queries (w1..w1p)
     get _FAR positions (zero hat weight)."""
     tn, h1, w1, _ = coords.shape
     offs = jnp.arange(WINP, dtype=jnp.float32) - float(radius)
@@ -185,8 +216,8 @@ def _prep_positions(coords, radius, w1p):
         pad = ((0, 0), (0, 0), (0, w1p - w1), (0, 0))
         xp = jnp.pad(xp, pad, constant_values=_FAR)
         yl = jnp.pad(yl, pad, constant_values=_FAR)
-    nch = w1p // CH
-    yc = yl.reshape(tn, h1, nch, CH * WINP).transpose(0, 1, 3, 2)
+    nch = w1p // ch
+    yc = yl.reshape(tn, h1, nch, ch * WINP).transpose(0, 1, 3, 2)
     return xp.reshape(tn, h1, 1, w1p * WINP), yc
 
 
@@ -202,9 +233,9 @@ def _col_spec(ri, w):
     )
 
 
-def _chunkcol_spec(ri, nch):
+def _chunkcol_spec(ri, nch, ch):
     return pl.BlockSpec(
-        (1, ri, CH * WINP, nch),
+        (1, ri, ch * WINP, nch),
         lambda t, i: (t, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -218,58 +249,62 @@ def _slab_spec(ri, hp, lanes):
     )
 
 
-def _pick_ri(h1, per_row_bytes):
+_VMEM_BUDGET = 2_500_000
+
+
+def _pick_ri(h1, per_row_bytes, ri=None):
     """Rows per program: amortize grid overhead on small levels while
     keeping the (double-buffered) working set well inside VMEM."""
-    for ri in (6, 5, 4, 3, 2):
-        if h1 % ri == 0 and ri * per_row_bytes < 2_500_000:
-            return ri
+    if ri is not None:
+        assert h1 % ri == 0, (h1, ri)
+        return ri
+    for cand in (6, 5, 4, 3, 2):
+        if h1 % cand == 0 and cand * per_row_bytes < _VMEM_BUDGET:
+            return cand
     return 1
 
 
-def _fwd_impl(vol, coords, radius, interpret):
+def _fwd_impl(vol, coords, radius, interpret, ri_override=None):
     Tl, N, h1, hp, lanes = vol.shape
     w1 = coords.shape[3]
-    w1p = _round_up(w1, CH)
-    assert lanes % w1p == 0, (vol.shape, w1p)
-    wlp = lanes // w1p
+    ch, w1p, wlp = _resolve_chunking(w1, lanes)
     assert hp % ROWPAD == 0 and wlp % COLPAD == 0, vol.shape
     win = 2 * radius + 1
     assert 2 * radius + 2 <= WINP, radius
 
     volr = vol.reshape(Tl * N, h1, hp, lanes)
     xp, yc = _prep_positions(
-        coords.reshape(Tl * N, h1, w1, 2), radius, w1p
+        coords.reshape(Tl * N, h1, w1, 2), radius, w1p, ch
     )
-    ri = _pick_ri(h1, hp * lanes * vol.dtype.itemsize)
+    ri = _pick_ri(h1, hp * lanes * vol.dtype.itemsize, ri_override)
 
-    nch = w1p // CH
+    nch = w1p // ch
     packed = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, w1p=w1p, win=win, hp=hp, wlp=wlp, ri=ri
+            _fwd_kernel, w1p=w1p, win=win, hp=hp, wlp=wlp, ri=ri, ch=ch
         ),
         grid=(Tl * N, h1 // ri),
         in_specs=[
             _row_spec(ri, w1p * WINP),
-            _chunkcol_spec(ri, nch),
+            _chunkcol_spec(ri, nch, ch),
             _slab_spec(ri, hp, lanes),
         ],
         out_specs=pl.BlockSpec(
-            (1, ri, nch, WINP, CH * WINP),
+            (1, ri, nch, WINP, ch * WINP),
             lambda t, i: (t, i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (Tl * N, h1, nch, WINP, CH * WINP), vol.dtype
+            (Tl * N, h1, nch, WINP, ch * WINP), vol.dtype
         ),
         scratch_shapes=[
-            pltpu.VMEM((CH * WINP, wlp), vol.dtype),
-            pltpu.VMEM((WINP, CH * WINP), vol.dtype),
+            pltpu.VMEM((ch * WINP, wlp), vol.dtype),
+            pltpu.VMEM((WINP, ch * WINP), vol.dtype),
         ],
         interpret=interpret,
     )(xp, yc, volr)
 
-    out = _unpack_windows(packed, w1, win)
+    out = _unpack_windows(packed, w1, win, ch)
     return out.reshape(Tl, N, h1, w1, win * win)
 
 
@@ -280,17 +315,19 @@ def _fwd_impl(vol, coords, radius, interpret):
 
 def _bwd_kernel(
     xr_ref, xc_ref, yc_ref, yr_ref, vol_ref, g_ref,
-    dvol_ref, dxy_ref, s2_scr, g_scr, dr_scr, *, w1p, win, hp, wlp, ri
+    dvol_ref, dxy_ref, s2_scr, g_scr, dr_scr, *, w1p, win, hp, wlp, ri,
+    ch,
 ):
     dt = vol_ref.dtype
     prec = _precision(dt)
-    nch = w1p // CH
-    cb = CH * wlp
+    nch = w1p // ch
+    cb = ch * wlp
+    cw = ch * WINP
 
-    # group-sum: row q sums its WINP-tap strip of a (128,) column
+    # group-sum: row q sums its WINP-tap strip of a (cw,) column
     gs = (
-        jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 1) // WINP
-        == jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 0)
+        jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1) // WINP
+        == jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)
     ).astype(jnp.float32)
 
     # off-band/off-diagonal backgrounds are written once; every chunk
@@ -308,25 +345,25 @@ def _bwd_kernel(
         exT = _hat(xr_ref[0, rl], wlp, 0).astype(dt)  # (wlp, W)
         dexT = _dhat(xr_ref[0, rl], wlp, 0).astype(dt)
         for c in range(nch):
-            yv = yc_ref[0, rl, :, c : c + 1]  # (128, 1)
-            yr = yr_ref[0, rl, :, c * 128 : (c + 1) * 128]  # (1, 128)
-            xv = xc_ref[0, rl, :, c : c + 1]  # (128, 1)
-            ey2 = _hat(yv, hp, 1).astype(dt)  # (128, hp)
+            yv = yc_ref[0, rl, :, c : c + 1]  # (cw, 1)
+            yr = yr_ref[0, rl, :, c * cw : (c + 1) * cw]  # (1, cw)
+            xv = xc_ref[0, rl, :, c : c + 1]  # (cw, 1)
+            ey2 = _hat(yv, hp, 1).astype(dt)  # (cw, hp)
             dey2 = _dhat(yv, hp, 1).astype(dt)
-            ey2T = _hat(yr, hp, 0).astype(dt)  # (hp, 128)
-            exN = _hat(xv, wlp, 1).astype(dt)  # (128, wlp) chunk-built
+            ey2T = _hat(yr, hp, 0).astype(dt)  # (hp, cw)
+            exN = _hat(xv, wlp, 1).astype(dt)  # (cw, wlp) chunk-built
             vband = vol_ref[0, rl, :, c * cb : (c + 1) * cb]
 
-            # Gbd from the packed (WINP, CH*WINP) cotangent tile:
+            # Gbd from the packed (WINP, cw) cotangent tile:
             # per-query sublane-only shifts (lane positions unchanged)
             gtile = g_ref[0, rl, c].astype(dt)
-            for ql in range(CH):
+            for ql in range(ch):
                 s = ql * WINP
                 g_scr[s : s + WINP, s : s + WINP] = gtile[:, s : s + WINP]
 
             # ---- dVol ------------------------------------------------
             ds2 = dot(g_scr[:], exN).astype(dt)
-            for ql in range(CH):
+            for ql in range(ch):
                 dr_scr[
                     ql * WINP : (ql + 1) * WINP,
                     ql * wlp : (ql + 1) * wlp,
@@ -338,7 +375,7 @@ def _bwd_kernel(
             # ---- dcoords ---------------------------------------------
             rp = dot(ey2, vband).astype(dt)
             rpy = dot(dey2, vband).astype(dt)
-            for ql in range(CH):
+            for ql in range(ch):
                 s2_scr[0, ql * WINP : (ql + 1) * WINP, :] = rp[
                     ql * WINP : (ql + 1) * WINP,
                     ql * wlp : (ql + 1) * wlp,
@@ -347,36 +384,36 @@ def _bwd_kernel(
                     ql * WINP : (ql + 1) * WINP,
                     ql * wlp : (ql + 1) * wlp,
                 ]
-            p_x = dot(s2_scr[0], dexT[:, c * 128 : (c + 1) * 128])
-            p_y = dot(s2_scr[1], exT[:, c * 128 : (c + 1) * 128])
+            p_x = dot(s2_scr[0], dexT[:, c * cw : (c + 1) * cw])
+            p_y = dot(s2_scr[1], exT[:, c * cw : (c + 1) * cw])
             gf = g_scr[:].astype(jnp.float32)
-            rx = jnp.sum(gf * p_x, axis=1, keepdims=True)  # (128, 1)
+            rx = jnp.sum(gf * p_x, axis=1, keepdims=True)  # (cw, 1)
             ry = jnp.sum(gf * p_y, axis=1, keepdims=True)
             # HIGHEST regardless of dtype: a bf16 pass would round the
             # f32 row-sums to 2^-9
             dx = dot(gs, rx, jax.lax.Precision.HIGHEST)
             dy = dot(gs, ry, jax.lax.Precision.HIGHEST)
-            dxy_ref[0, rl, c * CH : (c + 1) * CH, 0:1] = dx
-            dxy_ref[0, rl, c * CH : (c + 1) * CH, 1:2] = dy
+            dxy_ref[0, rl, c * ch : (c + 1) * ch, 0:1] = dx
+            dxy_ref[0, rl, c * ch : (c + 1) * ch, 1:2] = dy
 
 
 def _bwd_impl(vol, coords, g, radius, interpret):
     Tl, N, h1, hp, lanes = vol.shape
     w1 = coords.shape[3]
     win = 2 * radius + 1
-    w1p = _round_up(w1, CH)
-    wlp = lanes // w1p
+    ch, w1p, wlp = _resolve_chunking(w1, lanes)
 
     volr = vol.reshape(Tl * N, h1, hp, lanes)
     gr = _pack_windows(
-        g.reshape(Tl * N, h1, w1, win, win), w1p, win
+        g.reshape(Tl * N, h1, w1, win, win), w1p, win, ch
     )
     xp, yc = _prep_positions(
-        coords.reshape(Tl * N, h1, w1, 2), radius, w1p
+        coords.reshape(Tl * N, h1, w1, 2), radius, w1p, ch
     )
-    nch = w1p // CH
+    nch = w1p // ch
+    cw = ch * WINP
     xc = (
-        xp.reshape(Tl * N, h1, nch, CH * WINP).transpose(0, 1, 3, 2)
+        xp.reshape(Tl * N, h1, nch, cw).transpose(0, 1, 3, 2)
     )
     yr = (
         yc.transpose(0, 1, 3, 2).reshape(Tl * N, h1, 1, w1p * WINP)
@@ -385,17 +422,17 @@ def _bwd_impl(vol, coords, g, radius, interpret):
 
     dvolr, dxy = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, w1p=w1p, win=win, hp=hp, wlp=wlp, ri=ri
+            _bwd_kernel, w1p=w1p, win=win, hp=hp, wlp=wlp, ri=ri, ch=ch
         ),
         grid=(Tl * N, h1 // ri),
         in_specs=[
             _row_spec(ri, w1p * WINP),
-            _chunkcol_spec(ri, nch),
-            _chunkcol_spec(ri, nch),
+            _chunkcol_spec(ri, nch, ch),
+            _chunkcol_spec(ri, nch, ch),
             _row_spec(ri, w1p * WINP),
             _slab_spec(ri, hp, lanes),
             pl.BlockSpec(
-                (1, ri, w1p // CH, WINP, CH * WINP),
+                (1, ri, w1p // ch, WINP, cw),
                 lambda t, i: (t, i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -413,9 +450,9 @@ def _bwd_impl(vol, coords, g, radius, interpret):
             jax.ShapeDtypeStruct((Tl * N, h1, w1p, 2), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CH * WINP, wlp), vol.dtype),  # band gathers
-            pltpu.VMEM((128, 128), vol.dtype),  # Gbd
-            pltpu.VMEM((CH * WINP, CH * wlp), vol.dtype),  # dR' placement
+            pltpu.VMEM((2, cw, wlp), vol.dtype),  # band gathers
+            pltpu.VMEM((cw, cw), vol.dtype),  # Gbd
+            pltpu.VMEM((cw, ch * wlp), vol.dtype),  # dR' placement
         ],
         interpret=interpret,
     )(xp, xc, yc, yr, volr, gr)
@@ -455,7 +492,7 @@ def to_slab(vol: jax.Array, w1p=None) -> jax.Array:
     every refinement iteration on the compact slab."""
     Tl, N, h1, w1, hp, wl = vol.shape
     if w1p is None:
-        w1p = _round_up(w1, CH)
+        w1p = _round_up(w1, 8)
     wlp = _round_up(wl, COLPAD)
     if wlp != wl or w1p != w1:
         vol = jnp.pad(

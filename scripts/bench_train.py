@@ -22,14 +22,11 @@ from bflow_tpu.train import TaskConfig, TrainState, build_optimizer, make_train_
 def main(batch=3, H=288, W=384, compute_dtype="bfloat16",
          dataset="dsec"):
     if dataset == "multiflow2d":
-        # MultiFlow E_I_LU5_BD10 training recipe (368x496 crop).
-        # Batch 2/chip: 12 unrolled iterations x 6 targets exceed the
-        # 16 GB HBM at the reference's batch 3 (a 24 GB-GPU recipe) —
-        # the XLA lane padding of (hl, 62)-shaped volume maps costs
-        # 2.1x, and the per-iteration dVol cotangents overlap. Global
-        # batch comes from the data-parallel mesh instead.
+        # MultiFlow E_I_LU5_BD10 training recipe (368x496 crop),
+        # reference batch 3/chip (config/general.yaml:4). The round-3
+        # slab volume layout removed the 2.1x lane-padding HBM waste
+        # of (hl, 62)-shaped maps that made batch 3 OOM in round 2.
         H, W = 368, 496
-        batch = 2
         cfg = RaftSplineConfig(
             nbins_context=41, nbins_correlation=25, bezier_degree=10,
             ev_target_indices=(8, 16, 24, 32, 40),
@@ -109,4 +106,7 @@ def main(batch=3, H=288, W=384, compute_dtype="bfloat16",
 
 if __name__ == "__main__":
     ds = sys.argv[1] if len(sys.argv) > 1 else "dsec"
-    main(dataset=ds)
+    kw = {}
+    if len(sys.argv) > 2:
+        kw["batch"] = int(sys.argv[2])
+    main(dataset=ds, **kw)

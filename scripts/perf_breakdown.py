@@ -136,12 +136,19 @@ def main() -> None:
     timed("volume_pyramid", mk_vol, fr, ft)
 
     # ---- lookup (one iteration, all levels) ------------------------------
+    from bflow_tpu.models.corr import build_pyramid_for_method
+
     pyramid = jax.jit(
         lambda fr, ft: build_corr_pyramid(fr, ft, cfg.levels_per_target,
                                           precision=cfg.corr_precision)
     )(jnp.asarray(fr), jnp.asarray(ft))
-    pyr_idx = [i for i, _ in pyramid]
-    pyr_vols = [v for _, v in pyramid]
+    slab_pyramid = jax.jit(
+        lambda fr, ft: build_pyramid_for_method(
+            fr, ft, cfg.levels_per_target,
+            precision=cfg.corr_precision, method="pallas")
+    )(jnp.asarray(fr), jnp.asarray(ft))
+    pyr_idx = [i for i, _ in slab_pyramid]
+    pyr_vols = [v for _, v in slab_pyramid]
     coords = (
         coords_grid(N, h1, w1)[None]
         + rng.standard_normal((T, N, h1, w1, 2)).astype(np.float32) * 3.0
@@ -161,18 +168,18 @@ def main() -> None:
 
     timed("lookup_iter", mk_lookup, coords, *pyr_vols)
 
-    # per-level lookup
-    for lvl in range(len(pyramid)):
-        idx_l, vol_l = pyramid[lvl]
+    # per-level lookup (v4 slab kernel — the production default)
+    for lvl in range(len(slab_pyramid)):
+        idx_l, vol_l = slab_pyramid[lvl]
         c_l = np.asarray(coords)[list(idx_l)] / (2.0 ** lvl)
 
         def mk_lkl(R, vol_l=vol_l):
-            from bflow_tpu.ops.pallas.corr_lookup import lookup_level_pallas
+            from bflow_tpu.ops.pallas.corr_lookup_v3 import lookup_level_slab
 
             @jax.jit
             def f(acc, c, vol):
                 def body(i, acc):
-                    out = lookup_level_pallas(vol, c + acc, cfg.radius)
+                    out = lookup_level_slab(vol, c + acc, cfg.radius)
                     return acc + out.astype(jnp.float32).sum() * 1e-20
                 return jax.lax.fori_loop(0, R, body, acc)
             return f
