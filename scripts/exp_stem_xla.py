@@ -98,5 +98,33 @@ def main():
     slope("s2d-equiv 4x4 s1 C=60", s1(jnp.bfloat16), xs, ks)
 
 
+def main2():
+    """A/B: direct stem vs s2d rewrite (XLA repack) at flagship shape."""
+    import flax.linen as nn  # noqa
+    from bflow_tpu.models.extractor import StemConv
+
+    B = 20
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, 480, 640, 15)).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    for use_s2d in (False, True):
+        stem = StemConv(64, dtype=jnp.bfloat16, use_s2d=use_s2d)
+        vars_ = stem.init(key, jnp.asarray(x[:1]))
+
+        def mk(R, stem=stem, vars_=vars_):
+            @jax.jit
+            def f(acc, xx):
+                def body(i, acc):
+                    y = stem.apply(vars_, xx + acc)
+                    return acc + y.astype(jnp.float32).sum() * 1e-20
+                return jax.lax.fori_loop(0, R, body, acc)
+            return f
+
+        slope(f"stem use_s2d={use_s2d}", mk, x)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "ab":
+        main2()
+    else:
+        main()
