@@ -32,18 +32,6 @@ from bflow_tpu.ops.sampler import bilinear_sample
 # One pyramid level: (base-target indices at this level, volume).
 CorrLevel = Tuple[Tuple[int, ...], jax.Array]
 
-# Levels whose padded row count is <= this are packed into one pallas
-# pass when they share a target set (0 disables packing). Disabled by
-# default: a controlled same-session A/B at the flagship shapes
-# measured the packed composite consistently SLOWER (12.5 vs 11.3
-# ms/iter) — the shared cross-products acquire lane-rotation strip
-# copies and 3x-wide selector builds that outweigh the saved matmul
-# launches, which the software pipeline had already hidden. Applies to
-# the legacy 'pallas_v2' method only; the default strip-mined v3 kernel
-# has per-query fixed costs small enough that packing has no role.
-PACK_MAX_ROWS = 0
-
-
 # What 'auto' means on TPU. The v4 banded slab kernel (corr_lookup_v3)
 # won the round-3 same-session A/B at flagship shapes: full-pyramid
 # forward 9.4 vs 14.3 ms/iter (B=4, incl. ~2-3 ms dispatch overhead),
@@ -326,32 +314,14 @@ def corr_lookup(
             c = coords[jnp.asarray(target_idx)] / (2.0**lvl)
             out_channels.append(lookup_level_slab(vol, c, radius))
     elif method == "pallas_v2":
-        from bflow_tpu.ops.pallas.corr_lookup import lookup_levels_packed
+        from bflow_tpu.ops.pallas.corr_lookup import lookup_level_pallas
 
-        # Pack runs of consecutive SMALL levels (row count <= 32 after
-        # padding) with identical target sets into one kernel pass —
-        # their per-query fixed costs dominate and are shared when
-        # packed (ops/pallas/corr_lookup.py:lookup_levels_packed).
-        out_channels = [None] * len(pyramid)
-        i = 0
-        while i < len(pyramid):
-            idx_i = pyramid[i][0]
-            j = i + 1
-            if pyramid[i][1].shape[-2] <= PACK_MAX_ROWS:
-                while (
-                    j < len(pyramid)
-                    and pyramid[j][0] == idx_i
-                    and pyramid[j][1].shape[-2] <= PACK_MAX_ROWS
-                ):
-                    j += 1
-            cs = [
-                coords[jnp.asarray(idx_i)] / (2.0**k) for k in range(i, j)
-            ]
-            feats = lookup_levels_packed(
-                [pyramid[k][1] for k in range(i, j)], cs, radius
-            )
-            out_channels[i:j] = feats
-            i = j
+        # Legacy r2 kernel on the plain (.., hl-pad, wl) layout. The
+        # multi-level packed composite it once offered measured slower
+        # in every hardware A/B and was removed (round 3).
+        for lvl, (target_idx, vol) in enumerate(pyramid):
+            c = coords[jnp.asarray(target_idx)] / (2.0**lvl)
+            out_channels.append(lookup_level_pallas(vol, c, radius))
     else:
         for lvl, (target_idx, vol) in enumerate(pyramid):
             c = coords[jnp.asarray(target_idx)] / (2.0**lvl)

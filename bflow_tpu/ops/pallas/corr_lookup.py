@@ -1,5 +1,13 @@
 """Pallas TPU kernels: windowed bilinear correlation lookup (fwd + vjp).
 
+Legacy (round-2) formulation, kept as `lookup_method='pallas_v2'`. The
+production default is the round-3 banded-slab kernel
+(corr_lookup_v3.lookup_level_slab), which is layout-compact and
+faster; this kernel works on the plain (..., hl-pad, wl) volume layout
+and stays as the measured fallback / A-B reference. The multi-level
+"packed" variant that used to live here lost every hardware A/B
+(12.5 vs 11.3 ms/iter at B=4) and was removed in round 3 per review.
+
 Every query pixel owns its own (hl, wl) correlation map inside the
 all-pairs volume; the lookup reads one (2r+1)x(2r+1) bilinear window
 around its (x, y) coordinate, with grid_sample zero padding outside the
@@ -11,6 +19,8 @@ Kernel strategy (chunked block-diagonal contractions):
     (build_corr_pyramid pads the target features), so every per-query
     map is sublane-tile aligned and out-of-range window rows read
     exact zeros — grid_sample zero padding for free, no clamping.
+    Out-of-range x taps likewise carry zero hat weight against the
+    wl in-range grid columns, so no x masking is needed either.
   * Bilinear tap weights are "hat functions": the weight of column c
     for tap b of query q is relu(1 - |x_q - r + b - c|), identical to
     the (1-fx)/fx one-hot blend. Both selector families are built for
@@ -93,8 +103,7 @@ def _hat(pos, n, axis):
 
 
 def _dhat(pos, n, axis):
-    """d(hat)/d(position): [g == floor(p)+1] - [g == floor(p)] — the
-    derivative of the fractional blend w.r.t. the query coordinate."""
+    """d(hat)/d(pos): [grid == floor(pos)+1] - [grid == floor(pos)]."""
     shape = (n, pos.shape[-1]) if axis == 0 else (pos.shape[0], n)
     g = jax.lax.broadcasted_iota(jnp.int32, shape, axis).astype(
         jnp.float32
@@ -111,7 +120,7 @@ def _dhat(pos, n, axis):
 
 
 def _fwd_kernel(
-    xp_ref, yp_ref, vol_ref, out_ref, scr, *, w1, win, ch, hp, wl, nw
+    xp_ref, yp_ref, vol_ref, out_ref, scr, *, w1, win, ch, hp, wl
 ):
     """Two empirically-selected stage-2 forms (B=4 flagship timings):
 
@@ -123,21 +132,15 @@ def _fwd_kernel(
       contract OUT = ey @ strips with K=hp — the block-diagonal form
       wastes ch x in K, which dominates when hp is small (1.11 vs
       1.92 ms at level 1). Same lookahead-1 pipeline.
-
-    nw > 1 packs several pyramid levels (same targets, zero-guarded
-    column bands, shared row padding) into ONE volume: each query then
-    owns nw window groups of WINP taps, and the per-query cross
-    product, strip copy and selector builds are shared across levels.
     """
     dt = vol_ref.dtype
     prec = _precision(dt)
-    lw = nw * WINP  # taps per query
-    cw = ch * lw
-    exT = _hat(xp_ref[0, 0], wl, 0).astype(dt)  # (wl, w1*lw)
-    ey = _hat(yp_ref[0, 0], hp, 1).astype(dt)  # (w1*lw, hp)
+    cw = ch * WINP
+    exT = _hat(xp_ref[0, 0], wl, 0).astype(dt)  # (wl, w1*WINP)
+    ey = _hat(yp_ref[0, 0], hp, 1).astype(dt)  # (w1*WINP, hp)
 
     n = w1 // ch
-    use_eybd = hp > 32 and nw == 1
+    use_eybd = hp > 32
     if use_eybd:
         scr[...] = jnp.zeros_like(scr)
 
@@ -146,7 +149,7 @@ def _fwd_kernel(
         q0 = c * ch
         vc = vol_ref[0, 0, q0 : q0 + ch].reshape(ch * hp, wl)
         return jax.lax.dot_general(
-            vc, exT[:, q0 * lw : q0 * lw + cw],
+            vc, exT[:, q0 * WINP : q0 * WINP + cw],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         ).astype(dt)
@@ -166,57 +169,42 @@ def _fwd_kernel(
             # never on T1 — off the matmul critical path
             for ql in range(ch):
                 scr[
-                    ql * lw : (ql + 1) * lw, ql * hp : (ql + 1) * hp
-                ] = ey[lo + ql * lw : lo + (ql + 1) * lw, :]
+                    ql * WINP : (ql + 1) * WINP, ql * hp : (ql + 1) * hp
+                ] = ey[lo + ql * WINP : lo + (ql + 1) * WINP, :]
             out = jax.lax.dot_general(
                 scr[:], t1, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
         else:
             for ql in range(ch):
-                s = ql * lw
-                scr[:, s : s + lw] = t1[
-                    ql * hp : (ql + 1) * hp, s : s + lw
+                s = ql * WINP
+                scr[:, s : s + WINP] = t1[
+                    ql * hp : (ql + 1) * hp, s : s + WINP
                 ]
             out = jax.lax.dot_general(
                 ey[lo : lo + cw], scr[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
         for ql in range(ch):
-            for wg in range(nw):
-                s = ql * lw + wg * WINP
-                out_ref[0, 0, c * ch + ql, wg] = out[
-                    s : s + win, s : s + win
-                ].astype(out_ref.dtype)
+            s = ql * WINP
+            out_ref[0, 0, c * ch + ql] = out[
+                s : s + win, s : s + win
+            ].astype(out_ref.dtype)
 
 
-SENTINEL = -65536.0  # tap position guaranteed outside every column band
-
-
-def _tap_positions(coords, radius, w1, xoffs, wls):
-    """(TN, h1, w1, nw, 2) coords -> tap positions, one per
-    (query, window group, tap): pos[(q*nw + g)*WINP + b] =
-    xoffs[g] + coord - r + b. x positions come out lane-major
+def _tap_positions(coords, radius, w1):
+    """(TN, h1, w1, 2) coords -> tap positions, one per (query, tap):
+    pos[q*WINP + b] = coord - r + b. x positions come out lane-major
     (TN, h1, 1, W) and y positions sublane-major (TN, h1, W, 1): each
     selector family is built directly in the orientation its canonical
-    MXU contraction consumes.
-
-    x taps whose LEVEL-LOCAL position falls outside (-1, wl_g) carry no
-    weight in that level's map and are moved to SENTINEL so they cannot
-    leak into a neighbouring packed column band (each band also keeps a
-    zero guard column for the in-range boundary blend)."""
-    tn, h1, _, nw, _ = coords.shape
+    MXU contraction consumes. Out-of-range and phantom (b >= 2r+1)
+    taps need no masking: their hat weights against the in-range grid
+    are zero or land in never-read output rows/cols."""
+    tn, h1, _, _ = coords.shape
     offs = jnp.arange(WINP, dtype=jnp.float32) - float(radius)
-    pos = coords[..., None] + offs  # (TN, h1, w1, nw, 2, WINP)
-    px = pos[..., 0, :]  # (TN, h1, w1, nw, WINP) level-local x taps
-    py = pos[..., 1, :]
-    wl_g = jnp.asarray(wls, jnp.float32).reshape(nw, 1)
-    off_g = jnp.asarray(xoffs, jnp.float32).reshape(nw, 1)
-    px = jnp.where(
-        (px > -1.0) & (px < wl_g), px + off_g, SENTINEL
-    )
-    xp = px.reshape(tn, h1, 1, w1 * nw * WINP)
-    yp = py.reshape(tn, h1, w1 * nw * WINP, 1)
+    pos = coords[..., None] + offs  # (TN, h1, w1, 2, WINP)
+    xp = pos[..., 0, :].reshape(tn, h1, 1, w1 * WINP)
+    yp = pos[..., 1, :].reshape(tn, h1, w1 * WINP, 1)
     return xp, yp
 
 
@@ -244,52 +232,48 @@ def _vol_spec(w1, hp, wl):
     )
 
 
-def _fwd_impl(vol, coords, radius, xoffs, wls, interpret):
+def _fwd_impl(vol, coords, radius, interpret):
     Tl, N, h1, w1, hp, wl = vol.shape
-    nw = len(xoffs)
     assert hp % ROWPAD == 0, (
         f"forward volume rows must be zero-padded to {ROWPAD}: {vol.shape}"
     )
     win = 2 * radius + 1
     assert win <= WINP, (radius, WINP)
     ch = next(c for c in (CH, 4, 2, 1) if w1 % c == 0)
-    lw = nw * WINP
 
     volr = vol.reshape(Tl * N, h1, w1, hp, wl)
     xp, yp = _tap_positions(
-        coords.reshape(Tl * N, h1, w1, nw, 2), radius, w1, xoffs, wls
+        coords.reshape(Tl * N, h1, w1, 2), radius, w1
     )
 
     out = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, w1=w1, win=win, ch=ch, hp=hp, wl=wl, nw=nw
+            _fwd_kernel, w1=w1, win=win, ch=ch, hp=hp, wl=wl
         ),
         grid=(Tl * N, h1),
         in_specs=[
-            _row_spec(w1 * lw),
-            _col_spec(w1 * lw),
+            _row_spec(w1 * WINP),
+            _col_spec(w1 * WINP),
             _vol_spec(w1, hp, wl),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, w1, nw, win, win),
-            lambda t, i: (t, i, 0, 0, 0, 0),
+            (1, 1, w1, win, win),
+            lambda t, i: (t, i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (Tl * N, h1, w1, nw, win, win), vol.dtype
+            (Tl * N, h1, w1, win, win), vol.dtype
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (ch * lw, ch * hp)
-                if (hp > 32 and nw == 1)
-                else (hp, ch * lw),
+                (ch * WINP, ch * hp) if hp > 32 else (hp, ch * WINP),
                 vol.dtype,
             ),
         ],
         interpret=interpret,
     )(xp, yp, volr)
 
-    return out.reshape(Tl, N, h1, w1, nw, win * win)
+    return out.reshape(Tl, N, h1, w1, win * win)
 
 
 # --------------------------------------------------------------------------
@@ -299,12 +283,11 @@ def _fwd_impl(vol, coords, radius, xoffs, wls, interpret):
 
 def _bwd_kernel(
     xr_ref, xc_ref, yr_ref, yc_ref, vol_ref, g_ref, dvol_ref, dxy_ref,
-    gbd, eybd, t1d, ud, *, w1, win, ch, hp, wl, nw
+    gbd, eybd, t1d, ud, *, w1, win, ch, hp, wl
 ):
     dt = vol_ref.dtype
     prec = _precision(dt)
-    lw = nw * WINP
-    cw = ch * lw
+    cw = ch * WINP
 
     xrow = xr_ref[0, 0]  # (1, W)
     xcol = xc_ref[0, 0]  # (W, 1)
@@ -317,10 +300,10 @@ def _bwd_kernel(
     ey = _hat(ycol, hp, 1).astype(dt)  # (W, hp)
     dey = _dhat(ycol, hp, 1).astype(dt)
 
-    # group-sum matrix: row (q, window-group) sums its WINP-tap strip
+    # group-sum matrix: row q sums its WINP-tap strip
     gs = (
-        jax.lax.broadcasted_iota(jnp.int32, (ch * nw, cw), 1) // WINP
-        == jax.lax.broadcasted_iota(jnp.int32, (ch * nw, cw), 0)
+        jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1) // WINP
+        == jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)
     ).astype(jnp.float32)
 
     # every chunk overwrites the same diagonal block positions, so the
@@ -332,7 +315,7 @@ def _bwd_kernel(
     def tu_of(c):
         # T1[(q'',y), (q,b)] = sum_x vc * exT; U likewise with d(ex)
         q0 = c * ch
-        lo = q0 * lw
+        lo = q0 * WINP
         vc = vol_ref[0, 0, q0 : q0 + ch].reshape(ch * hp, wl)
         t1x = jax.lax.dot_general(
             vc, exT[:, lo : lo + cw], (((1,), (0,)), ((), ())),
@@ -352,26 +335,24 @@ def _bwd_kernel(
         if c + 1 < n:
             tu_next = tu_of(c + 1)
         q0 = c * ch
-        lo = q0 * lw
+        lo = q0 * WINP
 
-        # block-diagonal output cotangent: zero off-diagonal, on the
-        # phantom taps (a, b >= win) AND across window groups, which
-        # masks every junk strip below
+        # block-diagonal output cotangent: zero off-diagonal and on the
+        # phantom taps (a, b >= win), which masks every junk strip below
         for ql in range(ch):
-            for wg in range(nw):
-                s = ql * lw + wg * WINP
-                gbd[s : s + win, s : s + win] = (
-                    g_ref[0, 0, q0 + ql, wg].astype(dt)
-                )
+            s = ql * WINP
+            gbd[s : s + win, s : s + win] = (
+                g_ref[0, 0, q0 + ql].astype(dt)
+            )
 
         # ---- coordinate gradients ------------------------------------
         for ql in range(ch):
-            s = ql * lw
-            t1d[:, s : s + lw] = t1x[
-                ql * hp : (ql + 1) * hp, s : s + lw
+            s = ql * WINP
+            t1d[:, s : s + WINP] = t1x[
+                ql * hp : (ql + 1) * hp, s : s + WINP
             ]
-            ud[:, s : s + lw] = ux[
-                ql * hp : (ql + 1) * hp, s : s + lw
+            ud[:, s : s + WINP] = ux[
+                ql * hp : (ql + 1) * hp, s : s + WINP
             ]
         # P[(q,a),(q',b)] = sum_y ey[(q,a), y] * Ud[y, (q',b)]
         p_x = jax.lax.dot_general(
@@ -387,7 +368,7 @@ def _bwd_kernel(
         ry = jnp.sum(gf * p_y, axis=1, keepdims=True)
         # HIGHEST regardless of volume dtype: a default (single bf16
         # pass) dot here would round the f32 row-sums to 2^-9
-        dx = jax.lax.dot_general(  # (ch*nw, 1) per-window scalars
+        dx = jax.lax.dot_general(  # (ch, 1) per-query scalars
             gs, rx, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -397,8 +378,8 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        dxy_ref[0, 0, q0 * nw : (q0 + ch) * nw, 0:1] = dx
-        dxy_ref[0, 0, q0 * nw : (q0 + ch) * nw, 1:2] = dy
+        dxy_ref[0, 0, q0 : q0 + ch, 0:1] = dx
+        dxy_ref[0, 0, q0 : q0 + ch, 1:2] = dy
 
         # ---- dVol = ey^T g ex per query, as one chunk matmul pair ----
         m = jax.lax.dot_general(  # (cw, wl): M[(q,a),x] = sum_b g * ex
@@ -406,8 +387,8 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32, precision=prec,
         ).astype(dt)
         for ql in range(ch):
-            eybd[ql * hp : (ql + 1) * hp, ql * lw : (ql + 1) * lw] = (
-                eyT[:, lo + ql * lw : lo + (ql + 1) * lw]
+            eybd[ql * hp : (ql + 1) * hp, ql * WINP : (ql + 1) * WINP] = (
+                eyT[:, lo + ql * WINP : lo + (ql + 1) * WINP]
             )
         dvc = jax.lax.dot_general(  # (ch*hp, wl)
             eybd[:], m, (((1,), (0,)), ((), ())),
@@ -416,138 +397,131 @@ def _bwd_kernel(
         dvol_ref[0, 0, q0 : q0 + ch] = dvc.reshape(ch, hp, wl).astype(dt)
 
 
-def _bwd_vmem_estimate(w1: int, hp: int, wl: int, sz: int, nw: int = 1) -> int:
+def _bwd_vmem_estimate(w1: int, hp: int, wl: int, sz: int) -> int:
     """Per-program VMEM bytes of the backward kernel: double-buffered
     volume, dVol and tile-padded cotangent blocks, the column-layout
     position inputs ((W, 1) tiles at 1/128 lane occupancy), six selector
     families with f32 build temporaries, and the chunk values."""
-    lw = nw * WINP
     vol = 2 * w1 * hp * wl * sz
     dvol = 2 * w1 * hp * wl * sz
-    gblk = 2 * w1 * nw * 16 * 128 * sz
-    poscol = 2 * 2 * w1 * lw * 512
-    sel = 6 * w1 * lw * (wl + hp) // 2 * (sz + 4)
-    vals = 8 * CH * lw * CH * hp * 4
+    gblk = 2 * w1 * 16 * 128 * sz
+    poscol = 2 * 2 * w1 * WINP * 512
+    sel = 6 * w1 * WINP * (wl + hp) // 2 * (sz + 4)
+    vals = 8 * CH * WINP * CH * hp * 4
     return vol + dvol + gblk + poscol + sel + vals
 
 
-def _bwd_impl(vol, coords, g, radius, xoffs, wls, interpret):
+def _bwd_impl(vol, coords, g, radius, interpret):
     Tl, N, h1, w1, hp, wl = vol.shape
-    nw = len(xoffs)
     win = 2 * radius + 1
-    lw = nw * WINP
 
     # Halve the queries per program until the working set fits the
     # ~16 MB scoped VMEM — a pure reshape (row groups are independent).
     if (
-        _bwd_vmem_estimate(w1, hp, wl, vol.dtype.itemsize, nw)
+        _bwd_vmem_estimate(w1, hp, wl, vol.dtype.itemsize)
         > 11_000_000
         and w1 % 2 == 0
     ):
         dvol, dcoords = _bwd_impl(
             vol.reshape(Tl, N, h1 * 2, w1 // 2, hp, wl),
-            coords.reshape(Tl, N, h1 * 2, w1 // 2, nw, 2),
-            g.reshape(Tl, N, h1 * 2, w1 // 2, nw, win * win),
+            coords.reshape(Tl, N, h1 * 2, w1 // 2, 2),
+            g.reshape(Tl, N, h1 * 2, w1 // 2, win * win),
             radius,
-            xoffs,
-            wls,
             interpret,
         )
         return (
             dvol.reshape(Tl, N, h1, w1, hp, wl),
-            dcoords.reshape(Tl, N, h1, w1, nw, 2),
+            dcoords.reshape(Tl, N, h1, w1, 2),
         )
 
     ch = next(c for c in (CH, 4, 2, 1) if w1 % c == 0)
-    cw = ch * lw
 
     volr = vol.reshape(Tl * N, h1, w1, hp, wl)
-    g6 = g.reshape(Tl * N, h1, w1, nw, win, win)
+    g5 = g.reshape(Tl * N, h1, w1, win, win)
     xp, yp = _tap_positions(
-        coords.reshape(Tl * N, h1, w1, nw, 2), radius, w1, xoffs, wls
+        coords.reshape(Tl * N, h1, w1, 2), radius, w1
     )
     tn = Tl * N
-    xc = xp.reshape(tn, h1, w1 * lw, 1)
-    yr = yp.reshape(tn, h1, 1, w1 * lw)
+    xc = xp.reshape(tn, h1, w1 * WINP, 1)
+    yr = yp.reshape(tn, h1, 1, w1 * WINP)
 
     dvolr, dxy = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, w1=w1, win=win, ch=ch, hp=hp, wl=wl, nw=nw
+            _bwd_kernel, w1=w1, win=win, ch=ch, hp=hp, wl=wl
         ),
         grid=(Tl * N, h1),
         in_specs=[
-            _row_spec(w1 * lw),
-            _col_spec(w1 * lw),
-            _row_spec(w1 * lw),
-            _col_spec(w1 * lw),
+            _row_spec(w1 * WINP),
+            _col_spec(w1 * WINP),
+            _row_spec(w1 * WINP),
+            _col_spec(w1 * WINP),
             _vol_spec(w1, hp, wl),
             pl.BlockSpec(
-                (1, 1, w1, nw, win, win),
-                lambda t, i: (t, i, 0, 0, 0, 0),
+                (1, 1, w1, win, win),
+                lambda t, i: (t, i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             _vol_spec(w1, hp, wl),
             pl.BlockSpec(
-                (1, 1, w1 * nw, 2),
+                (1, 1, w1, 2),
                 lambda t, i: (t, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Tl * N, h1, w1, hp, wl), vol.dtype),
-            jax.ShapeDtypeStruct((Tl * N, h1, w1 * nw, 2), jnp.float32),
+            jax.ShapeDtypeStruct((Tl * N, h1, w1, 2), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((cw, cw), vol.dtype),  # gbd
-            pltpu.VMEM((ch * hp, cw), vol.dtype),  # eybd
-            pltpu.VMEM((hp, cw), vol.dtype),  # t1d
-            pltpu.VMEM((hp, cw), vol.dtype),  # ud
+            pltpu.VMEM((ch * WINP, ch * WINP), vol.dtype),  # gbd
+            pltpu.VMEM((ch * hp, ch * WINP), vol.dtype),  # eybd
+            pltpu.VMEM((hp, ch * WINP), vol.dtype),  # t1d
+            pltpu.VMEM((hp, ch * WINP), vol.dtype),  # ud
         ],
         interpret=interpret,
-    )(xp, xc, yr, yp, volr, g6)
+    )(xp, xc, yr, yp, volr, g5)
 
     dvol = dvolr.reshape(Tl, N, h1, w1, hp, wl)
-    dcoords = dxy.reshape(Tl, N, h1, w1, nw, 2).astype(coords.dtype)
+    dcoords = dxy.reshape(Tl, N, h1, w1, 2).astype(coords.dtype)
     return dvol, dcoords
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _lookup_cvjp(vol, coords, radius, xoffs, wls, interpret):
-    return _fwd_impl(vol, coords, radius, xoffs, wls, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _lookup_cvjp(vol, coords, radius, interpret):
+    return _fwd_impl(vol, coords, radius, interpret)
 
 
-def _vjp_fwd(vol, coords, radius, xoffs, wls, interpret):
+def _vjp_fwd(vol, coords, radius, interpret):
     return (
-        _fwd_impl(vol, coords, radius, xoffs, wls, interpret),
+        _fwd_impl(vol, coords, radius, interpret),
         (vol, coords),
     )
 
 
-def _vjp_bwd(radius, xoffs, wls, interpret, residuals, g):
+def _vjp_bwd(radius, interpret, residuals, g):
     vol, coords = residuals
-    return _bwd_impl(vol, coords, g, radius, xoffs, wls, interpret)
+    return _bwd_impl(vol, coords, g, radius, interpret)
 
 
 _lookup_cvjp.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def _vmem_estimate(w1: int, hp: int, wl: int, sz: int, nw: int = 1) -> int:
+def _vmem_estimate(w1: int, hp: int, wl: int, sz: int) -> int:
     """Per-program VMEM bytes for the larger (backward) pass:
     double-buffered volume, dVol and (16, 128)-tile-padded cotangent
     blocks, four selector families plus f32 build temporaries, and the
     chunk cross-product values/scratch."""
-    lw = nw * WINP
     vol = 2 * w1 * hp * wl * sz
     dvol = 2 * w1 * hp * wl * sz
-    gblk = 2 * 2 * w1 * nw * 16 * 128 * sz
-    sel = 4 * w1 * lw * (wl + hp) * (sz + 4) // 2
-    vals = 6 * CH * lw * max(CH * hp, CH * lw) * 4
+    gblk = 2 * 2 * w1 * 16 * 128 * sz
+    sel = 4 * w1 * WINP * (wl + hp) * (sz + 4) // 2
+    vals = 6 * CH * WINP * max(CH * hp, CH * WINP) * 4
     return vol + dvol + gblk + sel + vals
 
 
-def _pick_row_group(h1, w1, hp, wl, itemsize, nw=1):
+def _pick_row_group(h1, w1, hp, wl, itemsize):
     """Rows of queries per program: amortizes per-program fixed costs on
     the small pyramid levels while keeping the working set well under
     the ~16 MB scoped VMEM and the chunk loop short."""
@@ -556,67 +530,10 @@ def _pick_row_group(h1, w1, hp, wl, itemsize, nw=1):
             continue
         if ri * w1 > 384:
             continue
-        if _vmem_estimate(ri * w1, hp, wl, itemsize, nw) > 10_000_000:
+        if _vmem_estimate(ri * w1, hp, wl, itemsize) > 10_000_000:
             continue
         return ri
     return 1
-
-
-def lookup_levels_packed(
-    vols, coords_list, radius: int, interpret: bool = False
-):
-    """Windowed lookups for SEVERAL pyramid levels in one kernel pass.
-
-    The levels must share (Tl, N, h1, w1) — i.e. the same target set
-    and query grid; maps may differ in size. Their maps are packed into
-    one per-query super-map: rows zero-padded to a common multiple of
-    16, columns concatenated with one zero guard column per band (the
-    in-range boundary blend reads it; fully out-of-band taps are moved
-    to a sentinel position by _tap_positions). Zero rows/columns ARE
-    grid_sample's zero padding, so semantics are exact per level, while
-    the per-query selector builds, cross-products and strip copies are
-    shared — the per-query fixed costs that dominate the small levels.
-
-    Args:
-      vols: list of (Tl, N, h1, w1, hl_i, wl_i) correlation volumes.
-      coords_list: matching list of (Tl, N, h1, w1, 2) query positions,
-        each in ITS level's map pixels.
-      radius: window radius r (2r+1 <= 16).
-
-    Returns:
-      list of (Tl, N, h1, w1, (2r+1)^2) window features, dy-major.
-    """
-    nw = len(vols)
-    assert nw == len(coords_list) and nw >= 1
-    Tl, N, h1, w1 = vols[0].shape[:4]
-    hp = max(_round_up(v.shape[4], ROWPAD) for v in vols)
-
-    parts, xoffs, wls = [], [], []
-    off = 0
-    for i, v in enumerate(vols):
-        assert v.shape[:4] == (Tl, N, h1, w1), (v.shape, vols[0].shape)
-        hl, wl = v.shape[4:]
-        guard = 1 if (nw > 1 and i < nw - 1) else 0
-        parts.append(
-            jnp.pad(
-                v, ((0, 0),) * 4 + ((0, hp - hl), (0, guard))
-            )
-        )
-        xoffs.append(off)
-        wls.append(wl)
-        off += wl + guard
-    volp = parts[0] if nw == 1 else jnp.concatenate(parts, axis=-1)
-    coordsp = jnp.stack(coords_list, axis=-2)  # (Tl, N, h1, w1, nw, 2)
-
-    ri = _pick_row_group(h1, w1, hp, off, volp.dtype.itemsize, nw)
-    if ri > 1:
-        volp = volp.reshape(Tl, N, h1 // ri, ri * w1, hp, off)
-        coordsp = coordsp.reshape(Tl, N, h1 // ri, ri * w1, nw, 2)
-    out = _lookup_cvjp(
-        volp, coordsp, radius, tuple(xoffs), tuple(wls), interpret
-    )
-    out = out.reshape(Tl, N, h1, w1, nw, -1)
-    return [out[..., i, :] for i in range(nw)]
 
 
 def lookup_level_pallas(
@@ -636,4 +553,14 @@ def lookup_level_pallas(
     Returns:
       (Tl, N, h1, w1, (2r+1)^2) window features, dy-major, vol dtype.
     """
-    return lookup_levels_packed([vol], [coords], radius, interpret)[0]
+    Tl, N, h1, w1, hl, wl = vol.shape
+    hp = _round_up(hl, ROWPAD)
+    if hp != hl:
+        vol = jnp.pad(vol, ((0, 0),) * 4 + ((0, hp - hl), (0, 0)))
+
+    ri = _pick_row_group(h1, w1, hp, wl, vol.dtype.itemsize)
+    if ri > 1:
+        vol = vol.reshape(Tl, N, h1 // ri, ri * w1, hp, wl)
+        coords = coords.reshape(Tl, N, h1 // ri, ri * w1, 2)
+    out = _lookup_cvjp(vol, coords, radius, interpret)
+    return out.reshape(Tl, N, h1, w1, -1)

@@ -106,69 +106,6 @@ def main() -> None:
             )
             ok &= e_fwd[1] < 1e-5 and e_dv[1] < 1e-5 and e_dc[1] < 1e-4
 
-    # packed small levels (the production path groups levels 1..3)
-    from bflow_tpu.ops.pallas.corr_lookup import lookup_levels_packed
-
-    small = [(lvl, idx, vol) for lvl, (idx, vol) in enumerate(pyramid)
-             if vol.shape[-2] <= 32]
-    if len(small) > 1:
-        vols = [v for _, _, v in small]
-        Tl = len(small[0][1])
-        cs = [
-            jnp.asarray(
-                (base[None] / 2.0**lvl)
-                + rng.uniform(
-                    -9, 9, (Tl, N, h1, w1, 2)
-                ).astype(np.float32)
-            )
-            for lvl, _, _ in small
-        ]
-        gv = [
-            jnp.asarray(
-                rng.standard_normal(
-                    (Tl, N, h1, w1, (2 * cfg.radius + 1) ** 2)
-                ),
-                jnp.float32,
-            )
-            for _ in small
-        ]
-
-        def f_pack(vs, cc):
-            outs = lookup_levels_packed(list(vs), list(cc), cfg.radius)
-            return sum((o * g).sum() for o, g in zip(outs, gv))
-
-        def f_ref(vs, cc):
-            return sum(
-                (_lookup_level_gather(v, c, cfg.radius) * g).sum()
-                for v, c, g in zip(vs, cc, gv)
-            )
-
-        outs_p = jax.jit(
-            lambda vs, cc: lookup_levels_packed(
-                list(vs), list(cc), cfg.radius
-            )
-        )(tuple(vols), tuple(cs))
-        dv_p, dc_p = jax.jit(jax.grad(f_pack, argnums=(0, 1)))(
-            tuple(vols), tuple(cs)
-        )
-        dv_g, dc_g = jax.jit(jax.grad(f_ref, argnums=(0, 1)))(
-            tuple(vols), tuple(cs)
-        )
-        for k, (lvl, _, vol) in enumerate(small):
-            out_g = jax.jit(
-                lambda v, c: _lookup_level_gather(v, c, cfg.radius)
-            )(vol, cs[k])
-            e_fwd = err(outs_p[k], out_g)
-            e_dv = err(dv_p[k], dv_g[k])
-            e_dc = err(dc_p[k], dc_g[k])
-            print(
-                f"packed lvl {lvl}: fwd rel={e_fwd[1]:.2e}  "
-                f"dvol rel={e_dv[1]:.2e}  dcoords rel={e_dc[1]:.2e}"
-            )
-            ok &= (
-                e_fwd[1] < 1e-5 and e_dv[1] < 1e-5 and e_dc[1] < 1e-4
-            )
-
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -188,62 +188,6 @@ def test_pallas_lookup_custom_vjp_matches_gather(rng):
     )
 
 
-def test_packed_levels_match_gather(rng):
-    """Multi-level packed pallas lookup == per-level gather (fwd+VJP)."""
-    import jax
-    import jax.numpy as jnp
-
-    from bflow_tpu.models.corr import _lookup_level_gather
-    from bflow_tpu.ops.pallas.corr_lookup import lookup_levels_packed
-
-    T, N, D, h, w, r = 2, 1, 8, 8, 16, 4
-    a = rng.standard_normal((T, N, h, w, D)).astype(np.float32)
-    b = rng.standard_normal((T, N, h, w, D)).astype(np.float32)
-    pyr = build_corr_pyramid(jnp.asarray(a), jnp.asarray(b), [3, 3])
-    vols = [v for _, v in pyr]  # row counts 16, 16, 16 (padded)
-    coords = [
-        jnp.asarray(
-            np.stack(
-                [rng.uniform(-6, w / 2**l + 5, (T, N, h, w)),
-                 rng.uniform(-6, h / 2**l + 5, (T, N, h, w))],
-                -1,
-            ).astype(np.float32)
-        )
-        for l in range(3)
-    ]
-    gvecs = [
-        jnp.asarray(rng.standard_normal((T, N, h, w, 81)), jnp.float32)
-        for _ in range(3)
-    ]
-
-    outs = lookup_levels_packed(vols, coords, r, True)
-    for l in range(3):
-        want = _lookup_level_gather(vols[l], coords[l], r)
-        np.testing.assert_allclose(
-            np.asarray(outs[l]), np.asarray(want), rtol=1e-4, atol=1e-5
-        )
-
-    def f_pack(vs, cs):
-        outs = lookup_levels_packed(list(vs), list(cs), r, True)
-        return sum((o * g).sum() for o, g in zip(outs, gvecs))
-
-    def f_ref(vs, cs):
-        return sum(
-            (_lookup_level_gather(v, c, r) * g).sum()
-            for v, c, g in zip(vs, cs, gvecs)
-        )
-
-    dv_p, dc_p = jax.grad(f_pack, argnums=(0, 1))(tuple(vols), tuple(coords))
-    dv_r, dc_r = jax.grad(f_ref, argnums=(0, 1))(tuple(vols), tuple(coords))
-    for l in range(3):
-        np.testing.assert_allclose(
-            np.asarray(dv_p[l]), np.asarray(dv_r[l]), rtol=1e-4, atol=1e-5
-        )
-        np.testing.assert_allclose(
-            np.asarray(dc_p[l]), np.asarray(dc_r[l]), rtol=1e-4, atol=2e-4
-        )
-
-
 def test_pallas_lookup_odd_shapes_and_radius(rng):
     """Pallas path at radius 3 and query widths exercising the ch=4/2/1
     chunk fallbacks (w1 not a multiple of 8)."""
