@@ -42,10 +42,15 @@ def main() -> None:
         )
         return voxel, images
 
-    voxel1, images1 = make_inputs(1)
+    # Params are spatial-size independent (conv net): init at a tiny
+    # crop so the 480x640 12-iteration graph is compiled ONCE below,
+    # not twice — each full compile costs minutes through the relay's
+    # remote-compile path and was pushing bench past the driver window.
+    voxel0 = jnp.zeros((1, 64, 64, cfg.nbins_total), jnp.float32)
+    images0 = jnp.zeros((2, 1, 64, 64, 3), jnp.float32)
     variables = jax.jit(
         lambda v, i: model.init(jax.random.PRNGKey(0), v, i, test_mode=True)
-    )(voxel1, images1)
+    )(voxel0, images0)
 
     @jax.jit
     def forward(variables, voxel, images):
@@ -62,9 +67,13 @@ def main() -> None:
 
     best = 0.0
     best_batch = 1
-    # batches 8/16 measure within noise of each other (both above 1-4);
-    # batch 1 stays as a fallback if a regression ever OOMs the big ones
-    for batch in (1, 8, 16):
+    # batch 16 is the measured optimum (8 within noise, 1 well below);
+    # the smaller batches exist ONLY as fallbacks if a regression ever
+    # OOMs batch 16 — trying 16 first avoids two extra multi-minute
+    # 480x640 compiles per bench run
+    for batch in (16, 8, 1):
+        if best > 0.0:
+            break  # a larger batch already succeeded
         try:
             voxel, images = make_inputs(batch)
             s = float(forward(variables, voxel, images))  # compile+warmup
@@ -81,13 +90,13 @@ def main() -> None:
             if fps > best:
                 best, best_batch = fps, batch
         except Exception as exc:
-            # ONLY an OOM at a larger batch may fall back to the best
-            # smaller-batch number; any other failure is a real regression
-            # and must fail the benchmark loudly (VERDICT r1, weak #3).
-            if is_oom(exc) and best > 0.0:
-                print(f"# batch {batch} OOM, keeping batch {best_batch}",
+            # ONLY an OOM may fall through to the next smaller batch;
+            # any other failure is a real regression and must fail the
+            # benchmark loudly (VERDICT r1, weak #3).
+            if is_oom(exc) and batch > 1:
+                print(f"# batch {batch} OOM, trying smaller",
                       file=__import__("sys").stderr)
-                break
+                continue
             raise
 
     print(
