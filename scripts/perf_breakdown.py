@@ -76,7 +76,7 @@ def main() -> None:
     # ---- encoders -------------------------------------------------------
     enc_ev = BasicEncoder(cfg.feature_dim, cfg.feature_norm, dtype=dt)
     grids5 = rng.standard_normal((5 * N, H, W, cfg.nbins_correlation)).astype(np.float32)
-    vars_ev = enc_ev.init(key, grids5)
+    vars_ev = jax.jit(enc_ev.init)(key, grids5[:1])
 
     def mk_enc(R):
         @jax.jit
@@ -90,7 +90,7 @@ def main() -> None:
     timed("enc_ev_5grids", mk_enc, grids5)
 
     imgs2 = rng.standard_normal((2 * N, H, W, 3)).astype(np.float32)
-    vars_img = enc_ev.init(key, imgs2[:1])
+    vars_img = jax.jit(enc_ev.init)(key, imgs2[:1])
 
     def mk_enc_img(R):
         @jax.jit
@@ -105,7 +105,7 @@ def main() -> None:
 
     cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim, cfg.context_norm, dtype=dt)
     ctx_in = rng.standard_normal((N, H, W, cfg.nbins_context + 3)).astype(np.float32)
-    vars_c = cnet.init(key, ctx_in)
+    vars_c = jax.jit(cnet.init)(key, ctx_in[:1])
 
     def mk_cnet(R):
         @jax.jit
@@ -138,17 +138,21 @@ def main() -> None:
     # ---- lookup (one iteration, all levels) ------------------------------
     from bflow_tpu.models.corr import build_pyramid_for_method
 
-    pyramid = jax.jit(
-        lambda fr, ft: build_corr_pyramid(fr, ft, cfg.levels_per_target,
-                                          precision=cfg.corr_precision)
-    )(jnp.asarray(fr), jnp.asarray(ft))
-    slab_pyramid = jax.jit(
-        lambda fr, ft: build_pyramid_for_method(
-            fr, ft, cfg.levels_per_target,
-            precision=cfg.corr_precision, method="pallas")
-    )(jnp.asarray(fr), jnp.asarray(ft))
-    pyr_idx = [i for i, _ in slab_pyramid]
-    pyr_vols = [v for _, v in slab_pyramid]
+    # the pyramid builders compile for minutes through the relay — skip
+    # them entirely when no lookup stage was requested
+    want_lookup = not only or any(
+        s == "lookup_iter" or s.startswith("lookup_lvl") for s in only
+    )
+    if want_lookup:
+        slab_pyramid = jax.jit(
+            lambda fr, ft: build_pyramid_for_method(
+                fr, ft, cfg.levels_per_target,
+                precision=cfg.corr_precision, method="pallas")
+        )(jnp.asarray(fr), jnp.asarray(ft))
+        pyr_idx = [i for i, _ in slab_pyramid]
+        pyr_vols = [v for _, v in slab_pyramid]
+    else:
+        slab_pyramid, pyr_idx, pyr_vols = [], [], []
     coords = (
         coords_grid(N, h1, w1)[None]
         + rng.standard_normal((T, N, h1, w1, 2)).astype(np.float32) * 3.0
@@ -192,7 +196,7 @@ def main() -> None:
     inp0 = rng.standard_normal((N, h1, w1, cfg.context_dim)).astype(np.float32)
     corr0 = rng.standard_normal((N, h1, w1, cfg.corr_planes)).astype(np.float32)
     bez0 = rng.standard_normal((N, h1, w1, 2 * cfg.bezier_degree)).astype(np.float32)
-    vars_u = upd.init(key, net0, inp0, corr0, bez0)
+    vars_u = jax.jit(upd.init)(key, net0[:1], inp0[:1], corr0[:1], bez0[:1])
 
     def mk_upd(R):
         @jax.jit

@@ -88,3 +88,38 @@ def test_v3_vjp_padded_queries(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dc_p), np.asarray(dc_r),
                                rtol=1e-4, atol=2e-4)
+
+def test_v3_chunk_width_sweep(rng, monkeypatch):
+    """The chunk width (queries per kernel chunk) is a pure performance
+    knob — any ch dividing w1p must give identical results (fwd + VJP).
+    Guards the hardware chunk-width A/Bs (scripts/exp_ch_ab.py)."""
+    from bflow_tpu.ops.pallas import corr_lookup_v3 as v3
+
+    T, N, h1, w1, hl, wl, r = 1, 1, 4, 16, 30, 18, 4
+    volp, coords = _case(np.random.default_rng(5), T, N, 8, h1, w1, hl, wl, r)
+    gvec = jnp.asarray(
+        np.random.default_rng(6).standard_normal(
+            (T, N, h1, w1, (2 * r + 1) ** 2)
+        ),
+        jnp.float32,
+    )
+
+    def f_v3(v, c):
+        return (lookup_level_slab(to_slab(v), c, r, True) * gvec).sum()
+
+    want = np.asarray(_lookup_level_gather(volp, coords, r))
+    dv_r, dc_r = jax.grad(
+        lambda v, c: (_lookup_level_gather(v, c, r) * gvec).sum(),
+        argnums=(0, 1),
+    )(volp, coords)
+
+    for ch in (4, 8, 16):
+        monkeypatch.setattr(v3, "pick_ch", lambda *a, ch=ch: ch)
+        got = np.asarray(lookup_level_slab(to_slab(volp), coords, r, True))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"ch={ch}")
+        dv_p, dc_p = jax.grad(f_v3, argnums=(0, 1))(volp, coords)
+        np.testing.assert_allclose(np.asarray(dv_p), np.asarray(dv_r),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"ch={ch}")
+        np.testing.assert_allclose(np.asarray(dc_p), np.asarray(dc_r),
+                                   rtol=1e-4, atol=2e-4, err_msg=f"ch={ch}")
