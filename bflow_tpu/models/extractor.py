@@ -63,20 +63,19 @@ class Norm(nn.Module):
             if self.dtype is None:
                 # parity mode: pure f32 statistics
                 return instance_norm(x.astype(jnp.float32)).astype(x.dtype)
-            # fast mode: read the bf16 activations directly with f32
-            # accumulation — the f32 up-cast pass doubled the HBM
-            # traffic of this (bandwidth-bound) op
-            mean = jnp.mean(
-                x, axis=(1, 2), keepdims=True, dtype=jnp.float32
-            )
-            var = jnp.mean(
-                jnp.square(x.astype(jnp.float32) - mean),
-                axis=(1, 2), keepdims=True,
-            )
-            return (
-                (x.astype(jnp.float32) - mean)
-                * jax.lax.rsqrt(var + 1e-5)
-            ).astype(x.dtype)
+            # fast mode: single read pass — E[x] and E[x^2] are
+            # independent reductions XLA fuses into one traversal,
+            # unlike the sequential mean-then-centered-var pair
+            # (measured 0.99 -> 0.88 ms per stage-1 norm at 20 inputs,
+            # scripts/exp_micro_fixes.py). var = E[x^2] - E[x]^2 in f32
+            # is safe here: bf16 activations carry 8 mantissa bits, far
+            # below the cancellation error for any plausible mean/var
+            # ratio.
+            xf = x.astype(jnp.float32)
+            m1 = jnp.mean(xf, axis=(1, 2), keepdims=True)
+            m2 = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
+            var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+            return ((xf - m1) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
         if self.kind == "none":
             return x
         raise NotImplementedError(self.kind)
