@@ -95,7 +95,7 @@ def test_v3_chunk_width_sweep(rng, monkeypatch):
     Guards the hardware chunk-width A/Bs (scripts/exp_ch_ab.py)."""
     from bflow_tpu.ops.pallas import corr_lookup_v3 as v3
 
-    T, N, h1, w1, hl, wl, r = 1, 1, 4, 16, 30, 18, 4
+    T, N, h1, w1, hl, wl, r = 1, 1, 2, 16, 18, 18, 4
     volp, coords = _case(np.random.default_rng(5), T, N, 8, h1, w1, hl, wl, r)
     gvec = jnp.asarray(
         np.random.default_rng(6).standard_normal(

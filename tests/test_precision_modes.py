@@ -59,6 +59,7 @@ def _flow(cfg, precision, voxel, images, iters, times):
     return {t: np.asarray(up.flow_at(float(t))) for t in times}
 
 
+@pytest.mark.slow  # two full 12-iteration model runs per config
 @pytest.mark.parametrize("name", ["dsec_events_images", "mf_events_images"])
 def test_bf16_fast_mode_bounded_vs_f32(name):
     cfg = _cfg(name)
