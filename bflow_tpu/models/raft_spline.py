@@ -161,30 +161,67 @@ class RAFTSpline(nn.Module):
             bezier = bezier.delta_update(flow_init.params)
 
         ts = cfg.lookup_timestamps
-        predictions: List[BezierCurves] = []
-        bezier_up = None
-        for itr in range(iters):
+
+        def refine(mdl, net, bezier):
+            """One refinement iteration (shared by both loop forms)."""
             if cfg.detach_bezier:
                 bezier = bezier.stop_gradient()
-
             flows = bezier.flow_at(ts)  # (T, N, h1, w1, 2)
             coords1 = coords0[None] + flows
-            with jax.named_scope(f"corr_lookup_{itr}"):
+            with jax.named_scope("corr_lookup"):
                 corr = corr_lookup(
                     pyramid, coords1, cfg.radius,
                     method=lookup_method,
                     precision=cfg.corr_precision,
                 )
-
             bez_ch = _bezier_to_channels(bezier)
-            with jax.named_scope(f"update_{itr}"):
-                net, mask, delta = self.update_block(
-                    net, inp, corr, bez_ch
-                )
+            with jax.named_scope("update"):
+                net, mask, delta = mdl.update_block(net, inp, corr, bez_ch)
             bezier = bezier.delta_update(
                 _channels_to_bezier_delta(delta, cfg.bezier_degree)
             )
+            return net, bezier, mask
 
+        if cfg.scan_iters and iters > 1:
+            # one rolled lax.scan step: ~10x smaller HLO and compile
+            # time than unrolling `iters` copies. The carry holds
+            # (net, bezier params, last mask); per-iteration params +
+            # masks stream out only when the caller needs every
+            # prediction (train). Upsampling happens outside the loop
+            # so the body stays step-invariant.
+            def body(mdl, carry, _):
+                net, bez_params, _mask = carry
+                net, bez, mask = refine(mdl, net, BezierCurves(bez_params))
+                ys = None if test_mode else (bez.params, mask)
+                return (net, bez.params, mask), ys
+
+            # the update block's mask head emits float32 (update.py)
+            mask0 = jnp.zeros((N, h1, w1, 64 * 9), jnp.float32)
+            (net, bez_params, mask), ys = nn.scan(
+                body,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                length=iters,
+            )(self, (net, bezier.params, mask0), None)
+            bezier = BezierCurves(bez_params)
+            if test_mode:
+                with jax.named_scope("upsample"):
+                    return bezier, bezier.upsampled(mask)
+            params_seq, mask_seq = ys
+            predictions = []
+            for itr in range(iters):
+                with jax.named_scope("upsample"):
+                    predictions.append(
+                        BezierCurves(params_seq[itr]).upsampled(
+                            mask_seq[itr]
+                        )
+                    )
+            return predictions
+
+        predictions: List[BezierCurves] = []
+        bezier_up = None
+        for itr in range(iters):
+            net, bezier, mask = refine(self, net, bezier)
             if not test_mode or itr == iters - 1:
                 with jax.named_scope("upsample"):
                     bezier_up = bezier.upsampled(mask)

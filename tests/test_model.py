@@ -152,3 +152,57 @@ def test_flow_init_carries_through(rng):
     )
     # warm start must change the trajectory
     assert not np.allclose(np.asarray(low_a.params), np.asarray(low_b.params))
+
+
+def test_scan_iters_matches_unrolled(rng):
+    """scan_iters=True is a compile-time knob: the rolled loop runs the
+    same ops, so outputs match to f32 round-off amplified by the
+    recurrence (~5e-7 relative per iteration on CPU), not bitwise. The
+    gradient check damps the bezier head (as in
+    test_precision_modes.py) and compares against the GLOBAL gradient
+    scale: pre-norm conv biases have mathematically zero gradient
+    (instance norm subtracts the mean), so their values are pure
+    round-off and per-leaf relative error is meaningless there."""
+    import dataclasses
+
+    cfg_u = dataclasses.replace(DSEC_SMALL, detach_bezier=True)
+    cfg_s = dataclasses.replace(cfg_u, scan_iters=True)
+    voxel, images = make_inputs(cfg_u, rng=np.random.default_rng(7))
+
+    m_u, m_s = RAFTSpline(cfg_u), RAFTSpline(cfg_s)
+    variables = m_u.init(jax.random.PRNGKey(0), voxel, images,
+                         test_mode=True)
+    head = variables["params"]["update_block"]["bezier_head"]["conv2"]
+    head["kernel"] = head["kernel"] * 0.02
+
+    def close(a, b, tol):
+        a, b = np.asarray(a), np.asarray(b)
+        den = max(np.abs(b).max(), 1e-6)
+        err = np.abs(a - b).max()
+        assert err < tol * den, (err, den)
+
+    # test mode: (final lowres bezier, upsampled)
+    bz_u, up_u = m_u.apply(variables, voxel, images, test_mode=True)
+    bz_s, up_s = m_s.apply(variables, voxel, images, test_mode=True)
+    close(bz_s.params, bz_u.params, 1e-5)
+    close(up_s.params, up_u.params, 1e-5)
+
+    # train mode: every prediction + gradients of a seq-weighted loss
+    def loss(m):
+        def f(vs, v, im):
+            preds = m.apply(vs, v, im)
+            return sum(
+                0.8 ** (len(preds) - 1 - i) * jnp.abs(p.params).mean()
+                for i, p in enumerate(preds)
+            )
+        return f
+
+    l_u, g_u = jax.value_and_grad(loss(m_u))(variables, voxel, images)
+    l_s, g_s = jax.value_and_grad(loss(m_s))(variables, voxel, images)
+    np.testing.assert_allclose(float(l_s), float(l_u), rtol=1e-5)
+    flat_u = jax.tree_util.tree_leaves(g_u)
+    flat_s = jax.tree_util.tree_leaves(g_s)
+    gscale = max(float(np.abs(np.asarray(b)).max()) for b in flat_u)
+    for a, b in zip(flat_s, flat_u):
+        err = float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        assert err < 1e-3 * gscale, (err, gscale)

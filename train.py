@@ -46,6 +46,7 @@ def model_config_from(config):
         "compute_dtype": precision.get("compute", "float32"),
         "lookup_method": model_cfg.get("lookup_method", "auto"),
         "remat_updates": bool(model_cfg.get("remat_updates", False)),
+        "scan_iters": bool(model_cfg.get("scan_iters", False)),
     })
 
 
