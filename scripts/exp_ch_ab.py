@@ -1,5 +1,6 @@
-"""Same-session A/B: queries-per-chunk ch=8 vs ch=16 for the v4 slab
-lookup forward, per flagship level, fori_loop slope timing."""
+"""Same-session A/B: queries-per-chunk (default 8 vs 16; override with
+a comma list as argv[2]) for the v4 slab lookup forward, per flagship
+level, fori_loop slope timing."""
 
 from __future__ import annotations
 
@@ -64,7 +65,12 @@ def run_one(name, B=4, dtype=jnp.bfloat16, h1=60, w1=80, r=4):
         jnp.float32,
     )
 
-    for ch in (8, 16):
+    chs = (
+        tuple(int(c) for c in sys.argv[2].split(","))
+        if len(sys.argv) > 2
+        else (8, 16)
+    )
+    for ch in chs:
         v3.pick_ch = lambda *a, ch=ch: ch
         slab = jax.jit(v3.to_slab)(vol)
 
