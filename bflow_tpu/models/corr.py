@@ -188,10 +188,25 @@ def build_pyramid_for_method(
     pyramid = build_corr_pyramid(
         fmap_ref, fmap_tgt, levels_per_target, precision
     )
-    if method == "pallas":
-        from bflow_tpu.ops.pallas.corr_lookup_v3 import to_slab
+    if method in ("pallas", "pallas_q8"):
+        from bflow_tpu.ops.pallas.corr_lookup_v3 import (
+            quantize_slab,
+            to_slab,
+        )
 
-        pyramid = [(idx, to_slab(vol)) for idx, vol in pyramid]
+        out = []
+        for idx, vol in pyramid:
+            slab = to_slab(vol)
+            # int8 inference mode: quantize the levels that carry the
+            # HBM stream. The shallow hp=16 levels stay in the volume
+            # dtype: they are <5% of the bytes and sit below the int8
+            # (32, 128) sublane tile, where padding would cancel the
+            # byte win.
+            if method == "pallas_q8" and slab.shape[3] >= 32:
+                out.append((idx, quantize_slab(slab)))
+            else:
+                out.append((idx, slab))
+        pyramid = out
     return pyramid
 
 
@@ -283,10 +298,12 @@ def corr_lookup(
       radius: window radius r.
       method: 'auto' (pallas on TPU, gather elsewhere) | 'pallas'
         (strip-mined slab kernel, TPU only — pyramid must be in slab
-        layout, see build_pyramid_for_method) | 'pallas_v2' (legacy
-        block-diagonal kernel on per-query maps) | 'onehot' (MXU
-        matmuls; compiles slowly at scale) | 'gather' (XLA gather —
-        exact oracle, fast on CPU, slow on TPU).
+        layout, see build_pyramid_for_method) | 'pallas_q8' (int8
+        slab, inference only: halves the per-iteration volume stream;
+        deep hp=16 levels stay in the volume dtype) | 'pallas_v2'
+        (legacy block-diagonal kernel on per-query maps) | 'onehot'
+        (MXU matmuls; compiles slowly at scale) | 'gather' (XLA
+        gather — exact oracle, fast on CPU, slow on TPU).
       precision: 'float32' | 'bfloat16' for the onehot matmuls.
 
     Returns:
@@ -304,14 +321,23 @@ def corr_lookup(
     ]
 
     out_channels: List[jax.Array] = []
-    if method == "pallas":
-        from bflow_tpu.ops.pallas.corr_lookup_v3 import lookup_level_slab
+    if method in ("pallas", "pallas_q8"):
+        from bflow_tpu.ops.pallas.corr_lookup_v3 import (
+            lookup_level_slab,
+            lookup_level_slab_q8,
+        )
 
         for lvl, (target_idx, vol) in enumerate(pyramid):
+            c = coords[jnp.asarray(target_idx)] / (2.0**lvl)
+            if isinstance(vol, tuple):  # (int8 slab, per-row scale)
+                slab_q, scale = vol
+                out_channels.append(
+                    lookup_level_slab_q8(slab_q, scale, c, radius)
+                )
+                continue
             assert vol.ndim == 5, (
                 "method='pallas' needs slab volumes "
                 "(build_pyramid_for_method)", vol.shape)
-            c = coords[jnp.asarray(target_idx)] / (2.0**lvl)
             out_channels.append(lookup_level_slab(vol, c, radius))
     elif method == "pallas_v2":
         from bflow_tpu.ops.pallas.corr_lookup import lookup_level_pallas

@@ -122,10 +122,18 @@ def _dhat(pos, n, axis):
 
 
 def _fwd_kernel(
-    xp_ref, yc_ref, vol_ref, out_ref, s2_scr, d_scr, *, w1p, win, hp, wlp,
-    ri, ch,
+    *refs, w1p, win, hp, wlp, ri, ch, quant=False,
 ):
-    dt = vol_ref.dtype
+    if quant:
+        # int8 volume + per-row dequant scale (see quantize_slab); the
+        # scale folds into the y-hat weights for free and the int8 band
+        # is cast to bf16 at the point of contraction (values <= 127
+        # are exact in bf16), so the blend numerics stay bf16-grade
+        sc_ref, xp_ref, yc_ref, vol_ref, out_ref, s2_scr, d_scr = refs
+        dt = jnp.bfloat16
+    else:
+        xp_ref, yc_ref, vol_ref, out_ref, s2_scr, d_scr = refs
+        dt = vol_ref.dtype
     prec = _precision(dt)
     nch = w1p // ch
     cb = ch * wlp  # chunk band lanes
@@ -134,9 +142,14 @@ def _fwd_kernel(
     def yblend(rl, c):
         # y-blend straight off the slab: no per-query input movement
         yv = yc_ref[0, rl, :, c : c + 1]  # (cw, 1) abs y taps
-        ey2 = _hat(yv, hp, 1).astype(dt)  # (cw, hp)
+        ey2 = _hat(yv, hp, 1)  # (cw, hp)
+        band = vol_ref[0, rl, :, c * cb : (c + 1) * cb]
+        if quant:
+            ey2 = ey2 * sc_ref[0, rl]
+            band = band.astype(dt)
+        ey2 = ey2.astype(dt)
         return jax.lax.dot_general(
-            ey2, vol_ref[0, rl, :, c * cb : (c + 1) * cb],
+            ey2, band,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         ).astype(dt)
@@ -264,13 +277,16 @@ def _pick_ri(h1, per_row_bytes, ri=None):
     return 1
 
 
-def _fwd_impl(vol, coords, radius, interpret, ri_override=None):
+def _fwd_impl(vol, coords, radius, interpret, ri_override=None,
+              scale=None):
     Tl, N, h1, hp, lanes = vol.shape
     w1 = coords.shape[3]
     ch, w1p, wlp = _resolve_chunking(w1, lanes)
     assert hp % ROWPAD == 0 and wlp % COLPAD == 0, vol.shape
     win = 2 * radius + 1
     assert 2 * radius + 2 <= WINP, radius
+    quant = scale is not None
+    out_dt = jnp.bfloat16 if quant else vol.dtype
 
     volr = vol.reshape(Tl * N, h1, hp, lanes)
     xp, yc = _prep_positions(
@@ -279,30 +295,40 @@ def _fwd_impl(vol, coords, radius, interpret, ri_override=None):
     ri = _pick_ri(h1, hp * lanes * vol.dtype.itemsize, ri_override)
 
     nch = w1p // ch
+    in_specs = [
+        _row_spec(ri, w1p * WINP),
+        _chunkcol_spec(ri, nch, ch),
+        _slab_spec(ri, hp, lanes),
+    ]
+    operands = [xp, yc, volr]
+    if quant:
+        in_specs.insert(0, pl.BlockSpec(
+            (1, ri), lambda t, i: (t, i), memory_space=pltpu.SMEM
+        ))
+        operands.insert(
+            0, scale.reshape(Tl * N, h1).astype(jnp.float32)
+        )
     packed = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, w1p=w1p, win=win, hp=hp, wlp=wlp, ri=ri, ch=ch
+            _fwd_kernel, w1p=w1p, win=win, hp=hp, wlp=wlp, ri=ri, ch=ch,
+            quant=quant,
         ),
         grid=(Tl * N, h1 // ri),
-        in_specs=[
-            _row_spec(ri, w1p * WINP),
-            _chunkcol_spec(ri, nch, ch),
-            _slab_spec(ri, hp, lanes),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, ri, nch, WINP, ch * WINP),
             lambda t, i: (t, i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (Tl * N, h1, nch, WINP, ch * WINP), vol.dtype
+            (Tl * N, h1, nch, WINP, ch * WINP), out_dt
         ),
         scratch_shapes=[
-            pltpu.VMEM((ch * WINP, wlp), vol.dtype),
-            pltpu.VMEM((WINP, ch * WINP), vol.dtype),
+            pltpu.VMEM((ch * WINP, wlp), out_dt),
+            pltpu.VMEM((WINP, ch * WINP), out_dt),
         ],
         interpret=interpret,
-    )(xp, yc, volr)
+    )(*operands)
 
     out = _unpack_windows(packed, w1, win, ch)
     return out.reshape(Tl, N, h1, w1, win * win)
@@ -484,16 +510,21 @@ _lookup_cvjp.defvjp(_vjp_fwd, _vjp_bwd)
 # --------------------------------------------------------------------------
 
 
-def to_slab(vol: jax.Array, w1p=None) -> jax.Array:
+def to_slab(vol: jax.Array, w1p=None, wlp=None) -> jax.Array:
     """(Tl, N, h1, w1, hp, wl) query-map volume -> row-slab layout
     (Tl, N, h1, hp, w1p*wlp): per-query bands zero-padded to wlp =
     roundup(wl, 16) columns, query count padded to w1p = roundup(w1, 8)
     zero bands. One HBM transpose per forward; the lookup then runs
-    every refinement iteration on the compact slab."""
+    every refinement iteration on the compact slab. `wlp` can be forced
+    higher (e.g. 128 to lane-align every query band) at the cost of
+    proportionally more HBM per level — a measured trade, see
+    scripts/exp_align_ab.py."""
     Tl, N, h1, w1, hp, wl = vol.shape
     if w1p is None:
         w1p = _round_up(w1, 8)
-    wlp = _round_up(wl, COLPAD)
+    if wlp is None:
+        wlp = _round_up(wl, COLPAD)
+    assert wlp >= wl and wlp % COLPAD == 0, (wl, wlp)
     if wlp != wl or w1p != w1:
         vol = jnp.pad(
             vol,
@@ -524,3 +555,37 @@ def lookup_level_slab(
       (Tl, N, h1, w1, (2r+1)^2) window features, dy-major, vol dtype.
     """
     return _lookup_cvjp(vol_slab, coords, radius, interpret)
+
+
+def quantize_slab(vol_slab: jax.Array):
+    """Symmetric int8 quantization of a row-slab volume with one scale
+    per query-grid row (the kernel's unit of work: row i's program only
+    ever reads slab row i, so per-row scales cost nothing extra).
+
+    Returns (slab_i8, scale) with slab ~= slab_i8 * scale[..., None,
+    None]. Inference-only: the q8 lookup has no VJP (training keeps the
+    bf16/f32 slab). Worst-case quantization error is scale/2 ~= 0.4% of
+    the row's max |corr|, on par with the bf16 volume's own rounding."""
+    Tl, N, h1, hp, lanes = vol_slab.shape
+    v = vol_slab.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(v), axis=(3, 4))  # (Tl, N, h1)
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.clip(
+        jnp.round(v / scale[..., None, None]), -127.0, 127.0
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def lookup_level_slab_q8(
+    vol_slab_q8: jax.Array,
+    scale: jax.Array,
+    coords: jax.Array,
+    radius: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Forward-only windowed bilinear lookup on an int8 row-slab volume
+    (from quantize_slab). Halves the dominant per-iteration HBM stream
+    (the level-0 slab read) relative to the bf16 slab; output is bf16.
+    Not differentiable — use lookup_level_slab for training."""
+    assert vol_slab_q8.dtype == jnp.int8, vol_slab_q8.dtype
+    return _fwd_impl(vol_slab_q8, coords, radius, interpret, scale=scale)

@@ -41,6 +41,47 @@ def test_v3_forward_matches_gather(rng):
                                    err_msg=str((T, N, h1, w1, hl, wl, r)))
 
 
+def test_v3_q8_forward_matches_dequantized_oracle(rng):
+    """int8 slab lookup == gather oracle run on the dequantized volume
+    (the only additional error is the bf16 blend, ~0.4%)."""
+    from bflow_tpu.ops.pallas.corr_lookup_v3 import (
+        lookup_level_slab_q8,
+        quantize_slab,
+    )
+
+    for (T, N, h1, w1, hl, wl, r) in [
+        (2, 1, 6, 16, 30, 18, 4),   # hp=32 (int8 sublane tiling)
+        (1, 1, 4, 8, 60, 20, 4),    # hp=64, the flagship level-0 shape
+        (1, 1, 3, 8, 46, 62, 4),    # hp=48, the MultiFlow level-0 shape
+    ]:
+        volp, coords = _case(np.random.default_rng(7), T, N, 8, h1, w1,
+                             hl, wl, r)
+        slab = to_slab(volp)
+        q, scale = quantize_slab(slab)
+        out = lookup_level_slab_q8(q, scale, coords, r, True)
+        assert out.dtype == jnp.bfloat16
+        got = np.asarray(out).astype(np.float32)
+
+        # dequantize the slab and map it back to per-query volume layout
+        deq = np.asarray(q, np.float32) * np.asarray(scale)[
+            ..., None, None
+        ]
+        Tl, Nn, hh, hp, lanes = deq.shape
+        w1p = ((w1 + 7) // 8) * 8
+        wlp = lanes // w1p
+        vol_deq = (
+            deq.reshape(Tl, Nn, hh, hp, w1p, wlp)
+            .transpose(0, 1, 2, 4, 3, 5)[:, :, :, :w1, :, :wl]
+        )
+        want = np.asarray(
+            _lookup_level_gather(jnp.asarray(vol_deq), coords, r)
+        )
+        amax = np.abs(want).max()
+        np.testing.assert_allclose(got, want, rtol=1e-2,
+                                   atol=1e-2 * amax,
+                                   err_msg=str((T, N, h1, w1, hl, wl, r)))
+
+
 def test_v3_vjp_matches_gather(rng):
     T, N, h1, w1, hl, wl, r = 2, 1, 4, 10, 30, 14, 4
     volp, coords = _case(np.random.default_rng(1), T, N, 8, h1, w1, hl, wl, r)

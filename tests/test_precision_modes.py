@@ -59,6 +59,59 @@ def _flow(cfg, precision, voxel, images, iters, times):
     return {t: np.asarray(up.flow_at(float(t))) for t in times}
 
 
+@pytest.mark.slow  # two full 12-iteration model runs
+def test_q8_volume_bounded_vs_bf16(monkeypatch):
+    """int8 volume quantization (lookup_method=pallas_q8) must not add
+    materially to the bf16 fast-mode error. The quantization is
+    simulated through the exact gather oracle with quantize_slab's own
+    granularity (one symmetric scale per (target, sample, query row)),
+    so the measured delta isolates the int8 rounding; the kernel's
+    bf16 blend is covered by test_corr_v3 + the bf16-vs-f32 bound."""
+    import jax.numpy as jnp
+
+    from bflow_tpu.models import corr as corr_mod
+
+    cfg = _cfg("dsec_events_images")
+    rng = np.random.default_rng(5)
+    H = W = 128
+    voxel = rng.standard_normal((1, H, W, cfg.nbins_total)).astype(
+        np.float32
+    )
+    images = rng.integers(0, 255, (2, 1, H, W, 3)).astype(np.float32)
+    times = (0.5, 1.0)
+    iters = 12
+
+    base = _flow(cfg, "bfloat16", voxel, images, iters, times)
+
+    real_build = corr_mod.build_corr_pyramid
+
+    def build_quantized(*a, **k):
+        out = []
+        for idx, vol in real_build(*a, **k):
+            v = vol.astype(jnp.float32)
+            amax = jnp.abs(v).max(axis=(3, 4, 5))  # (Tl, N, h1)
+            scale = jnp.maximum(amax, 1e-30)[
+                ..., None, None, None
+            ] / 127.0
+            q = jnp.clip(jnp.round(v / scale), -127.0, 127.0)
+            out.append((idx, (q * scale).astype(vol.dtype)))
+        return out
+
+    monkeypatch.setattr(corr_mod, "build_corr_pyramid", build_quantized)
+    q8 = _flow(cfg, "bfloat16", voxel, images, iters, times)
+
+    for t in times:
+        d = np.abs(q8[t] - base[t])
+        mag = max(np.abs(base[t]).max(), 1e-8)
+        epe = np.linalg.norm(q8[t] - base[t], axis=-1).mean()
+        print(
+            f"[precision:q8-vs-bf16] iters={iters} flow@t={t}: "
+            f"max|d|={d.max():.3e} rel={d.max() / mag:.3e} "
+            f"mean-EPE-delta={epe:.4e} px"
+        )
+        assert d.max() / mag < 5e-2, (t, d.max(), mag)
+
+
 @pytest.mark.slow  # two full 12-iteration model runs per config
 @pytest.mark.parametrize("name", ["dsec_events_images", "mf_events_images"])
 def test_bf16_fast_mode_bounded_vs_f32(name):
