@@ -72,6 +72,12 @@ class RaftSplineConfig:
     # is identical per step, so XLA loses only cross-iteration fusion
     # it could not do anyway (iterations are sequentially dependent).
     scan_iters: bool = False
+    # feed the motion encoder's 1x1 corr conv from the per-level lookup
+    # outputs as partial-sum einsums instead of materializing the
+    # ~900-channel concatenated corr map every iteration (kills one
+    # HBM round trip + the per-level transposes; algebraically
+    # identical, see scripts/exp_fuse_c1.py)
+    fuse_corr_conv: bool = False
 
     def __post_init__(self):
         assert self.nbins_context > 0 and self.nbins_correlation > 0

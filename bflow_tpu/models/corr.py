@@ -288,6 +288,7 @@ def corr_lookup(
     radius: int,
     method: str = "onehot",
     precision: str = "float32",
+    concat: bool = True,
 ) -> jax.Array:
     """Gather (2r+1)^2 bilinear windows around per-target query coords.
 
@@ -306,10 +307,16 @@ def corr_lookup(
         gather — exact oracle, fast on CPU, slow on TPU).
       precision: 'float32' | 'bfloat16' for the onehot matmuls.
 
+      concat: True -> one (N, h1, w1, C) map. False -> the per-level
+        (Tl, N, h1, w1, (2r+1)^2) tensors, for consumers that contract
+        the channel axis themselves (the fused motion-encoder conv,
+        models/update.py) and so never need the materialized concat.
+
     Returns:
       (N, h1, w1, C) with C = sum over levels of |targets| * (2r+1)^2,
       channels ordered (level, target, window[dy-major]) — the reference
-      contract (corr.py:307-351).
+      contract (corr.py:307-351) — or the per-level list (concat=False,
+      same channel order once flattened level-major/target/window).
     """
     T, N, h1, w1, _ = coords.shape
     method = resolve_lookup_method(method)
@@ -359,6 +366,8 @@ def corr_lookup(
                 raise ValueError(method)
             out_channels.append(feat)
 
+    if not concat:
+        return out_channels
     # (N, h1, w1, sum_l Tl*win^2), level-major then target then window.
     stacked = jnp.concatenate(
         [f.transpose(1, 2, 3, 0, 4).reshape(N, h1, w1, -1)

@@ -173,6 +173,7 @@ class RAFTSpline(nn.Module):
                     pyramid, coords1, cfg.radius,
                     method=lookup_method,
                     precision=cfg.corr_precision,
+                    concat=not cfg.fuse_corr_conv,
                 )
             bez_ch = _bezier_to_channels(bezier)
             with jax.named_scope("update"):

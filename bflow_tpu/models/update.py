@@ -50,6 +50,50 @@ class Conv2dParams(nn.Module):
         return k, b
 
 
+def _dot_1x1(x, kernel, bias, dtype):
+    """1x1 conv as reshape+matmul. XLA's TPU conv lowering leaves ~3-6x
+    on the table for 1x1 convs at 60x80 spatial (measured 0.53 vs 0.18
+    ms for convc1 at B=4, scripts/exp_micro_fixes.py); a plain dot hits
+    the MXU directly."""
+    *lead, ci = x.shape
+    kh, kw, ki, co = kernel.shape
+    assert (kh, kw, ki) == (1, 1, ci), (kernel.shape, x.shape)
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        bias = bias.astype(dtype)
+    y = jnp.matmul(x.reshape(-1, ci), kernel.reshape(ci, co),
+                   precision=conv_precision(dtype))
+    return y.reshape(*lead, co) + bias
+
+
+def _dot_im2col(x, kernel, bias, dtype):
+    """Small-kernel conv as explicit im2col + matmul. For the 7x7 conv
+    over 4 bezier channels XLA's conv is ~4x slower than the patch
+    matmul (0.95 vs 0.24 ms at B=4, scripts/exp_micro_fixes.py): the
+    tiny input channel count starves the conv lowering, while im2col
+    gives a dense K = kh*kw*ci contraction."""
+    n, h, w, ci = x.shape
+    kh, kw, ki, co = kernel.shape
+    assert ki == ci, (kernel.shape, x.shape)
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        bias = bias.astype(dtype)
+    ph, pw = kh // 2, kw // 2
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    cols = [
+        jax.lax.dynamic_slice(xp, (0, dy, dx, 0), (n, h, w, ci))
+        for dy in range(kh)
+        for dx in range(kw)
+    ]
+    patch = jnp.concatenate(cols, axis=-1)
+    y = jnp.matmul(patch.reshape(-1, kh * kw * ci),
+                   kernel.reshape(kh * kw * ci, co),
+                   precision=conv_precision(dtype))
+    return y.reshape(n, h, w, co) + bias
+
+
 def _conv(x, kernel, bias, pad, dtype):
     if dtype is not None:
         x = x.astype(dtype)
@@ -122,24 +166,52 @@ class BasicMotionEncoder(nn.Module):
     config: RaftSplineConfig
 
     @nn.compact
-    def __call__(self, bezier: jax.Array, corr: jax.Array) -> jax.Array:
+    def __call__(self, bezier: jax.Array, corr) -> jax.Array:
         cfg = self.config
-        assert corr.shape[-1] == cfg.corr_planes, (
-            corr.shape, cfg.corr_planes)
         bezier_planes = cfg.bezier_degree * 2
         assert bezier.shape[-1] == bezier_planes
 
         dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         prec = conv_precision(dt)
-        cor = nn.relu(nn.Conv(256, (1, 1), kernel_init=kaiming_out,
-                              dtype=dt, precision=prec,
-                              name="convc1")(corr))
+        kc1, bc1 = Conv2dParams((1, 1, cfg.corr_planes, 256),
+                                name="convc1")()
+        if isinstance(corr, (list, tuple)):
+            # fused path (config.fuse_corr_conv): contract convc1
+            # directly against the per-level lookup outputs —
+            # algebraically the concat'd 1x1 conv, with kernel row
+            # blocks in the same (level, target, window) channel order,
+            # but the ~900-channel corr map never hits HBM. Partials
+            # accumulate in f32 (at least as accurate as the one-shot
+            # bf16 matmul).
+            planes = sum(f.shape[0] * f.shape[-1] for f in corr)
+            assert planes == cfg.corr_planes, (planes, cfg.corr_planes)
+            k = kc1.reshape(cfg.corr_planes, 256)
+            if dt is not None:
+                k = k.astype(dt)
+            acc, off = None, 0
+            for f in corr:
+                tl, q = f.shape[0], f.shape[-1]
+                blk = k[off : off + tl * q].reshape(tl, q, 256)
+                part = jnp.einsum(
+                    "tnhwq,tqc->nhwc", f.astype(k.dtype), blk,
+                    precision=conv_precision(dt),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
+                off += tl * q
+            cor = nn.relu(
+                (acc + bc1.astype(jnp.float32)).astype(k.dtype)
+            )
+        else:
+            assert corr.shape[-1] == cfg.corr_planes, (
+                corr.shape, cfg.corr_planes)
+            cor = nn.relu(_dot_1x1(corr, kc1, bc1, dt))
         cor = nn.relu(nn.Conv(192, (3, 3), padding=1, dtype=dt,
                               precision=prec,
                               kernel_init=kaiming_out, name="convc2")(cor))
-        bez = nn.relu(nn.Conv(128, (7, 7), padding=3, dtype=dt,
-                              precision=prec,
-                              kernel_init=kaiming_out, name="convf1")(bezier))
+        kf1, bf1 = Conv2dParams((7, 7, bezier_planes, 128),
+                                name="convf1")()
+        bez = nn.relu(_dot_im2col(bezier, kf1, bf1, dt))
         bez = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=dt,
                               precision=prec,
                               kernel_init=kaiming_out, name="convf2")(bez))
@@ -173,8 +245,8 @@ class BasicUpdateBlock(nn.Module):
         prec = conv_precision(dt)
         m = nn.relu(nn.Conv(256, (3, 3), padding=1, kernel_init=kaiming_out,
                             dtype=dt, precision=prec, name="mask_0")(net))
-        m = nn.Conv(64 * 9, (1, 1), kernel_init=kaiming_out, dtype=dt,
-                    precision=prec, name="mask_2")(m)
+        km, bm = Conv2dParams((1, 1, 256, 64 * 9), name="mask_2")()
+        m = _dot_1x1(m, km, bm, dt)
         # gradient-balancing scale, reference update.py:125; heads emit
         # float32 so the Bezier state/upsample stay full precision
         return net, (0.25 * m).astype(jnp.float32), delta.astype(jnp.float32)

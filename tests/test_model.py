@@ -154,6 +154,55 @@ def test_flow_init_carries_through(rng):
     assert not np.allclose(np.asarray(low_a.params), np.asarray(low_b.params))
 
 
+def test_fuse_corr_conv_matches_concat(rng):
+    """fuse_corr_conv=True contracts convc1 against the per-level
+    lookup outputs instead of the materialized concat — algebraically
+    identical; outputs match to f32 accumulation-order round-off
+    amplified by the recurrence. Gradients compared against the global
+    gradient scale (see test_scan_iters_matches_unrolled)."""
+    import dataclasses
+
+    cfg_c = dataclasses.replace(DSEC_SMALL, detach_bezier=True)
+    cfg_f = dataclasses.replace(cfg_c, fuse_corr_conv=True)
+    voxel, images = make_inputs(cfg_c, rng=np.random.default_rng(9))
+
+    m_c, m_f = RAFTSpline(cfg_c), RAFTSpline(cfg_f)
+    variables = m_c.init(jax.random.PRNGKey(0), voxel, images,
+                         test_mode=True)
+    head = variables["params"]["update_block"]["bezier_head"]["conv2"]
+    head["kernel"] = head["kernel"] * 0.02
+
+    def close(a, b, tol):
+        a, b = np.asarray(a), np.asarray(b)
+        den = max(np.abs(b).max(), 1e-6)
+        err = np.abs(a - b).max()
+        assert err < tol * den, (err, den)
+
+    bz_c, up_c = m_c.apply(variables, voxel, images, test_mode=True)
+    bz_f, up_f = m_f.apply(variables, voxel, images, test_mode=True)
+    close(bz_f.params, bz_c.params, 1e-5)
+    close(up_f.params, up_c.params, 1e-5)
+
+    def loss(m):
+        def f(vs, v, im):
+            preds = m.apply(vs, v, im)
+            return sum(
+                0.8 ** (len(preds) - 1 - i) * jnp.abs(p.params).mean()
+                for i, p in enumerate(preds)
+            )
+        return f
+
+    l_c, g_c = jax.value_and_grad(loss(m_c))(variables, voxel, images)
+    l_f, g_f = jax.value_and_grad(loss(m_f))(variables, voxel, images)
+    np.testing.assert_allclose(float(l_f), float(l_c), rtol=1e-5)
+    flat_c = jax.tree_util.tree_leaves(g_c)
+    flat_f = jax.tree_util.tree_leaves(g_f)
+    gscale = max(float(np.abs(np.asarray(b)).max()) for b in flat_c)
+    for a, b in zip(flat_f, flat_c):
+        err = float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        assert err < 1e-3 * gscale, (err, gscale)
+
+
 def test_scan_iters_matches_unrolled(rng):
     """scan_iters=True is a compile-time knob: the rolled loop runs the
     same ops, so outputs match to f32 round-off amplified by the

@@ -47,6 +47,7 @@ def model_config_from(config):
         "lookup_method": model_cfg.get("lookup_method", "auto"),
         "remat_updates": bool(model_cfg.get("remat_updates", False)),
         "scan_iters": bool(model_cfg.get("scan_iters", False)),
+        "fuse_corr_conv": bool(model_cfg.get("fuse_corr_conv", False)),
     })
 
 
