@@ -190,22 +190,23 @@ def build_pyramid_for_method(
     )
     if method in ("pallas", "pallas_q8"):
         from bflow_tpu.ops.pallas.corr_lookup_v3 import (
-            quantize_slab,
+            quantize_volume,
             to_slab,
         )
 
         out = []
         for idx, vol in pyramid:
-            slab = to_slab(vol)
             # int8 inference mode: quantize the levels that carry the
-            # HBM stream. The shallow hp=16 levels stay in the volume
+            # HBM stream (before the slab transpose, so it moves int8
+            # bytes). The shallow hp=16 levels stay in the volume
             # dtype: they are <5% of the bytes and sit below the int8
             # (32, 128) sublane tile, where padding would cancel the
             # byte win.
-            if method == "pallas_q8" and slab.shape[3] >= 32:
-                out.append((idx, quantize_slab(slab)))
+            if method == "pallas_q8" and vol.shape[4] >= 32:
+                q, scale = quantize_volume(vol)
+                out.append((idx, (to_slab(q), scale)))
             else:
-                out.append((idx, slab))
+                out.append((idx, to_slab(vol)))
         pyramid = out
     return pyramid
 

@@ -557,23 +557,33 @@ def lookup_level_slab(
     return _lookup_cvjp(vol_slab, coords, radius, interpret)
 
 
-def quantize_slab(vol_slab: jax.Array):
-    """Symmetric int8 quantization of a row-slab volume with one scale
-    per query-grid row (the kernel's unit of work: row i's program only
-    ever reads slab row i, so per-row scales cost nothing extra).
-
-    Returns (slab_i8, scale) with slab ~= slab_i8 * scale[..., None,
-    None]. Inference-only: the q8 lookup has no VJP (training keeps the
-    bf16/f32 slab). Worst-case quantization error is scale/2 ~= 0.4% of
-    the row's max |corr|, on par with the bf16 volume's own rounding."""
-    Tl, N, h1, hp, lanes = vol_slab.shape
-    v = vol_slab.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(v), axis=(3, 4))  # (Tl, N, h1)
+def _quantize(v: jax.Array, reduce_axes):
+    """Symmetric int8 with one scale per query-grid row (the kernel's
+    unit of work: row i's program only ever reads slab row i, so
+    per-row scales cost nothing extra). Inference-only: the q8 lookup
+    has no VJP (training keeps the bf16/f32 slab). Worst-case
+    quantization error is scale/2 ~= 0.4% of the row's max |corr|, on
+    par with the bf16 volume's own rounding."""
+    v = v.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(v), axis=reduce_axes)  # (Tl, N, h1)
     scale = jnp.maximum(amax, 1e-30) / 127.0
-    q = jnp.clip(
-        jnp.round(v / scale[..., None, None]), -127.0, 127.0
-    ).astype(jnp.int8)
+    expand = scale.reshape(scale.shape + (1,) * len(reduce_axes))
+    q = jnp.clip(jnp.round(v / expand), -127.0, 127.0).astype(jnp.int8)
     return q, scale
+
+
+def quantize_slab(vol_slab: jax.Array):
+    """(Tl, N, h1, hp, lanes) slab -> (int8 slab, (Tl, N, h1) scale)."""
+    return _quantize(vol_slab, (3, 4))
+
+
+def quantize_volume(vol: jax.Array):
+    """(Tl, N, h1, w1, hp, wl) per-query volume -> (int8 volume,
+    (Tl, N, h1) scale). Same scale granularity as quantize_slab, but
+    applied BEFORE to_slab so the slab transpose moves int8 bytes
+    instead of bf16 — ~2 GB less one-time HBM traffic at the flagship
+    B=4 shapes."""
+    return _quantize(vol, (3, 4, 5))
 
 
 def lookup_level_slab_q8(

@@ -47,6 +47,7 @@ def test_v3_q8_forward_matches_dequantized_oracle(rng):
     from bflow_tpu.ops.pallas.corr_lookup_v3 import (
         lookup_level_slab_q8,
         quantize_slab,
+        quantize_volume,
     )
 
     for (T, N, h1, w1, hl, wl, r) in [
@@ -58,6 +59,14 @@ def test_v3_q8_forward_matches_dequantized_oracle(rng):
                              hl, wl, r)
         slab = to_slab(volp)
         q, scale = quantize_slab(slab)
+        # quantize-then-slab (the production order, moves int8 bytes)
+        # must equal slab-then-quantize: the slab's zero padding never
+        # changes the per-row amax
+        qv, scale_v = quantize_volume(volp)
+        np.testing.assert_array_equal(np.asarray(to_slab(qv)),
+                                      np.asarray(q))
+        np.testing.assert_allclose(np.asarray(scale_v),
+                                   np.asarray(scale), rtol=0)
         out = lookup_level_slab_q8(q, scale, coords, r, True)
         assert out.dtype == jnp.bfloat16
         got = np.asarray(out).astype(np.float32)
