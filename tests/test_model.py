@@ -154,6 +154,7 @@ def test_flow_init_carries_through(rng):
     assert not np.allclose(np.asarray(low_a.params), np.asarray(low_b.params))
 
 
+@pytest.mark.slow  # two full fwd+bwd model runs (~2 min)
 def test_fuse_corr_conv_matches_concat(rng):
     """fuse_corr_conv=True contracts convc1 against the per-level
     lookup outputs instead of the materialized concat — algebraically
@@ -203,6 +204,7 @@ def test_fuse_corr_conv_matches_concat(rng):
         assert err < 1e-3 * gscale, (err, gscale)
 
 
+@pytest.mark.slow  # two full fwd+bwd model runs (~2 min)
 def test_scan_iters_matches_unrolled(rng):
     """scan_iters=True is a compile-time knob: the rolled loop runs the
     same ops, so outputs match to f32 round-off amplified by the
