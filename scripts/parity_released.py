@@ -2,6 +2,7 @@
 
     python scripts/parity_released.py <ckpt.ckpt> [dataset.path=DIR] \
         [--iters 12] [--times 0.5,1.0] [--skip-torch] [--bf16-also]
+        [--q8-also]
 
 Given a PyTorch Lightning checkpoint of the reference (uzh-rpg/bflow,
 README.md:67-95 lists the four released files), this:
@@ -80,7 +81,8 @@ def load_state_dict(path: str) -> dict:
     return {k: v for k, v in sd.items() if k.startswith("net.")}
 
 
-def our_flow(cfg, sd, voxel_nchw, images_nchw, iters, times, precision):
+def our_flow(cfg, sd, voxel_nchw, images_nchw, iters, times, precision,
+             lookup_method=None):
     import dataclasses
 
     import jax
@@ -90,7 +92,8 @@ def our_flow(cfg, sd, voxel_nchw, images_nchw, iters, times, precision):
     from bflow_tpu.models import RAFTSpline
 
     cfg = dataclasses.replace(
-        cfg, corr_precision=precision, compute_dtype=precision
+        cfg, corr_precision=precision, compute_dtype=precision,
+        **({"lookup_method": lookup_method} if lookup_method else {}),
     )
     model = RAFTSpline(cfg)
     voxel = jnp.asarray(voxel_nchw.transpose(0, 2, 3, 1))
@@ -131,6 +134,7 @@ def main() -> None:
     ap.add_argument("--size", type=int, nargs=2, default=(128, 128))
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--bf16-also", action="store_true")
+    ap.add_argument("--q8-also", action="store_true")
     args = ap.parse_args()
 
     sd = load_state_dict(args.ckpt)
@@ -169,13 +173,22 @@ def main() -> None:
         print("torch oracle skipped (reference tree unavailable or "
               "--skip-torch)")
 
-    if args.bf16_also:
+    if args.bf16_also or args.q8_also:
         ours_bf16 = our_flow(
             sd=sd, cfg=cfg, voxel_nchw=voxel, images_nchw=images,
             iters=args.iters, times=times, precision="bfloat16",
         )
         print("bf16 fast mode vs our f32 parity mode:")
         report("bf16 vs f32", ours_bf16, ours_f32)
+    if args.q8_also:
+        # int8 volume inference mode (TPU only: the q8 slab kernel)
+        ours_q8 = our_flow(
+            sd=sd, cfg=cfg, voxel_nchw=voxel, images_nchw=images,
+            iters=args.iters, times=times, precision="bfloat16",
+            lookup_method="pallas_q8",
+        )
+        print("q8 volume mode vs bf16 fast mode:")
+        report("q8 vs bf16", ours_q8, ours_bf16)
 
     ds_overrides = [o for o in args.overrides if "=" in o]
     if ds_overrides:
