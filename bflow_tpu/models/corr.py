@@ -22,12 +22,19 @@ outer so the lookup gather is row-contiguous in (h2, w2).
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from bflow_tpu.ops.sampler import bilinear_sample
+
+# BFLOW_PALLAS_INTERPRET=1 runs the pallas lookup kernels in interpret
+# mode, so the exact production path (incl. pallas_q8) is CI-testable
+# on the CPU mesh. Test-only escape hatch: interpret mode is orders of
+# magnitude slower than the compiled kernel.
+_INTERPRET = os.environ.get("BFLOW_PALLAS_INTERPRET", "") == "1"
 
 # One pyramid level: (base-target indices at this level, volume).
 CorrLevel = Tuple[Tuple[int, ...], jax.Array]
@@ -340,13 +347,16 @@ def corr_lookup(
             if isinstance(vol, tuple):  # (int8 slab, per-row scale)
                 slab_q, scale = vol
                 out_channels.append(
-                    lookup_level_slab_q8(slab_q, scale, c, radius)
+                    lookup_level_slab_q8(slab_q, scale, c, radius,
+                                         _INTERPRET)
                 )
                 continue
             assert vol.ndim == 5, (
                 "method='pallas' needs slab volumes "
                 "(build_pyramid_for_method)", vol.shape)
-            out_channels.append(lookup_level_slab(vol, c, radius))
+            out_channels.append(
+                lookup_level_slab(vol, c, radius, _INTERPRET)
+            )
     elif method == "pallas_v2":
         from bflow_tpu.ops.pallas.corr_lookup import lookup_level_pallas
 

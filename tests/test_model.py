@@ -154,6 +154,58 @@ def test_flow_init_carries_through(rng):
     assert not np.allclose(np.asarray(low_a.params), np.asarray(low_b.params))
 
 
+@pytest.mark.slow  # interpret-mode kernels are slow (minutes)
+def test_pallas_paths_in_model_interpret(rng, monkeypatch):
+    """The PRODUCTION lookup paths (pallas slab kernel, and pallas_q8 +
+    fuse_corr_conv composed) through the full model, on CPU via the
+    interpret-mode escape hatch (corr._INTERPRET). Guards the
+    integration seams the unit tests can't see: slab/tuple plumbing
+    through the pyramid, q8 gating per level, bf16 lookup outputs
+    through the fused einsum. Shapes chosen so level 0 clears the
+    hp >= 32 quantization gate."""
+    import dataclasses
+
+    from bflow_tpu.models import corr as corr_mod
+
+    monkeypatch.setattr(corr_mod, "_INTERPRET", True)
+
+    cfg = dataclasses.replace(
+        DSEC_SMALL, iters_train=2, iters_test=2, detach_bezier=True,
+        lookup_method="gather",
+    )
+    voxel, images = make_inputs(cfg, H=160, W=160,
+                                rng=np.random.default_rng(11))
+    model = RAFTSpline(cfg)
+    variables = model.init(jax.random.PRNGKey(0), voxel, images,
+                           test_mode=True)
+    head = variables["params"]["update_block"]["bezier_head"]["conv2"]
+    head["kernel"] = head["kernel"] * 0.02
+
+    def flow(method, fuse=False, precision="float32"):
+        c = dataclasses.replace(
+            cfg, lookup_method=method, fuse_corr_conv=fuse,
+            corr_precision=precision, compute_dtype=precision,
+        )
+        _, up = RAFTSpline(c).apply(variables, voxel, images,
+                                    test_mode=True)
+        return np.asarray(up.flow_at(1.0), np.float32)
+
+    want = flow("gather")
+    got = flow("pallas")
+    mag = max(np.abs(want).max(), 1e-6)
+    assert np.abs(got - want).max() / mag < 1e-3, (
+        np.abs(got - want).max(), mag)
+
+    # q8 + fused convc1, bf16 fast mode vs the bf16 gather baseline:
+    # int8 + bf16 rounding through a damped 2-iter recurrence
+    want16 = flow("gather", precision="bfloat16")
+    got16 = flow("pallas_q8", fuse=True, precision="bfloat16")
+    mag16 = max(np.abs(want16).max(), 1e-6)
+    assert np.isfinite(got16).all()
+    assert np.abs(got16 - want16).max() / mag16 < 5e-2, (
+        np.abs(got16 - want16).max(), mag16)
+
+
 @pytest.mark.slow  # two full fwd+bwd model runs (~2 min)
 def test_fuse_corr_conv_matches_concat(rng):
     """fuse_corr_conv=True contracts convc1 against the per-level
