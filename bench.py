@@ -11,12 +11,31 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_FIELDS_PER_SEC = 200.0
+
+
+def _config_overrides(cfg):
+    """Optional env-var config overrides for same-session flag A/Bs:
+    BFLOW_BENCH_LOOKUP=<method>, BFLOW_BENCH_FUSE=1, BFLOW_BENCH_SCAN=1.
+    Unset -> the committed defaults (what the driver measures)."""
+    repl = {}
+    if os.environ.get("BFLOW_BENCH_LOOKUP"):
+        repl["lookup_method"] = os.environ["BFLOW_BENCH_LOOKUP"]
+    if os.environ.get("BFLOW_BENCH_FUSE"):
+        repl["fuse_corr_conv"] = os.environ["BFLOW_BENCH_FUSE"] == "1"
+    if os.environ.get("BFLOW_BENCH_SCAN"):
+        repl["scan_iters"] = os.environ["BFLOW_BENCH_SCAN"] == "1"
+    if repl:
+        print(f"# overrides: {repl}", file=__import__("sys").stderr)
+        cfg = dataclasses.replace(cfg, **repl)
+    return cfg
 
 
 def main() -> None:
@@ -27,7 +46,7 @@ def main() -> None:
 
     from __graft_entry__ import _flagship_config
 
-    cfg = _flagship_config()
+    cfg = _config_overrides(_flagship_config())
     model = RAFTSpline(cfg)
 
     H, W = 480, 640

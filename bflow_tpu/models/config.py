@@ -78,6 +78,14 @@ class RaftSplineConfig:
     # HBM round trip + the per-level transposes; algebraically
     # identical, see scripts/exp_fuse_c1.py)
     fuse_corr_conv: bool = False
+    # mixed lookup dispatch: pyramid levels >= this index use the XLA
+    # onehot-matmul lookup instead of the pallas slab kernel (only
+    # meaningful when the resolved method is pallas/pallas_q8). The
+    # deep levels' maps are tiny (15x20, 7x10 at DSEC val), where the
+    # pallas call is all fixed cost (grid + selector builds) while the
+    # onehot einsums stay small and fuse into the surrounding graph.
+    # -1 disables (all levels through the kernel).
+    onehot_from_level: int = -1
 
     def __post_init__(self):
         assert self.nbins_context > 0 and self.nbins_correlation > 0

@@ -185,13 +185,16 @@ def build_pyramid_for_method(
     levels_per_target: Sequence[int],
     precision: str,
     method: str,
+    onehot_from_level: int = -1,
 ) -> List[CorrLevel]:
     """Pyramid in the volume layout the RESOLVED lookup method consumes:
     row-slab (Tl, N, h1, hp, w1*wl) for the default pallas v3 kernel
     (lane-compact in HBM — no padding waste on 80- or 62-wide maps —
     and strip-sliceable), per-query (.., hp, wl) maps otherwise. The
     slab transpose runs once per forward; the lookup runs every
-    refinement iteration."""
+    refinement iteration. Levels >= onehot_from_level (when >= 0) stay
+    in per-query layout for the mixed onehot dispatch (see
+    corr_lookup)."""
     pyramid = build_corr_pyramid(
         fmap_ref, fmap_tgt, levels_per_target, precision
     )
@@ -202,7 +205,10 @@ def build_pyramid_for_method(
         )
 
         out = []
-        for idx, vol in pyramid:
+        for lvl, (idx, vol) in enumerate(pyramid):
+            if 0 <= onehot_from_level <= lvl:
+                out.append((idx, vol))  # per-query layout for onehot
+                continue
             # int8 inference mode: quantize the levels that carry the
             # HBM stream (before the slab transpose, so it moves int8
             # bytes). The shallow hp=16 levels stay in the volume
@@ -297,6 +303,7 @@ def corr_lookup(
     method: str = "onehot",
     precision: str = "float32",
     concat: bool = True,
+    onehot_from_level: int = -1,
 ) -> jax.Array:
     """Gather (2r+1)^2 bilinear windows around per-target query coords.
 
@@ -314,6 +321,14 @@ def corr_lookup(
         (MXU matmuls; compiles slowly at scale) | 'gather' (XLA
         gather — exact oracle, fast on CPU, slow on TPU).
       precision: 'float32' | 'bfloat16' for the onehot matmuls.
+
+      onehot_from_level: when >= 0 and the method is pallas/pallas_q8,
+        pyramid levels >= this index dispatch to the onehot XLA path
+        instead of the kernel (their volumes must be in per-query
+        layout — build_pyramid_for_method with the same value). The
+        deep levels are fixed-cost-bound in the kernel (tiny maps,
+        same query count), while onehot einsums at those shapes fuse
+        into the surrounding graph.
 
       concat: True -> one (N, h1, w1, C) map. False -> the per-level
         (Tl, N, h1, w1, (2r+1)^2) tensors, for consumers that contract
@@ -344,6 +359,17 @@ def corr_lookup(
 
         for lvl, (target_idx, vol) in enumerate(pyramid):
             c = coords[jnp.asarray(target_idx)] / (2.0**lvl)
+            if 0 <= onehot_from_level <= lvl:
+                assert not isinstance(vol, tuple) and vol.ndim == 6, (
+                    "onehot_from_level needs per-query volumes "
+                    "(build_pyramid_for_method with the same value)",
+                    lvl)
+                out_channels.append(
+                    _lookup_level_onehot(
+                        vol, c, radius, precision
+                    ).astype(vol.dtype)
+                )
+                continue
             if isinstance(vol, tuple):  # (int8 slab, per-row scale)
                 slab_q, scale = vol
                 out_channels.append(

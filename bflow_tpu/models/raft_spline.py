@@ -150,6 +150,7 @@ class RAFTSpline(nn.Module):
                 cfg.levels_per_target,
                 precision=cfg.corr_precision,
                 method=lookup_method,
+                onehot_from_level=cfg.onehot_from_level,
             )
 
         N, H, W, _ = context_input.shape
@@ -174,6 +175,7 @@ class RAFTSpline(nn.Module):
                     method=lookup_method,
                     precision=cfg.corr_precision,
                     concat=not cfg.fuse_corr_conv,
+                    onehot_from_level=cfg.onehot_from_level,
                 )
             bez_ch = _bezier_to_channels(bezier)
             with jax.named_scope("update"):

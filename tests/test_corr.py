@@ -211,3 +211,47 @@ def test_pallas_lookup_odd_shapes_and_radius(rng):
         got = np.asarray(lookup_level_pallas(vol, coords, r, True))
         want = np.asarray(_lookup_level_gather(vol, coords, r))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_mixed_onehot_from_level_matches_gather(rng, monkeypatch):
+    """Mixed dispatch (onehot_from_level): shallow levels through the
+    pallas slab kernel (interpret mode), deep levels through the onehot
+    XLA path — output must equal the gather oracle on every level and
+    keep the reference channel order."""
+    import jax.numpy as jnp
+
+    from bflow_tpu.models import corr as corr_mod
+    from bflow_tpu.models.corr import build_pyramid_for_method
+
+    monkeypatch.setattr(corr_mod, "_INTERPRET", True)
+
+    T, N, D, h, w, r = 2, 1, 8, 16, 16, 4
+    levels = [1, 3]
+    a = rng.standard_normal((T, N, h, w, D)).astype(np.float32)
+    b = rng.standard_normal((T, N, h, w, D)).astype(np.float32)
+    coords = jnp.asarray(
+        np.stack(
+            [rng.uniform(-3, w + 2, (T, N, h, w)),
+             rng.uniform(-3, h + 2, (T, N, h, w))],
+            -1,
+        ).astype(np.float32)
+    )
+
+    plain = build_corr_pyramid(jnp.asarray(a), jnp.asarray(b), levels)
+    want = np.asarray(corr_lookup(plain, coords, r, method="gather"))
+
+    for method in ("pallas", "pallas_q8"):
+        mixed = build_pyramid_for_method(
+            jnp.asarray(a), jnp.asarray(b), levels,
+            precision="float32", method=method, onehot_from_level=1,
+        )
+        # level 0 in slab (or quantized-slab) layout, deeper per-query
+        assert (isinstance(mixed[0][1], tuple)
+                or mixed[0][1].ndim == 5), method
+        assert all(v.ndim == 6 for _, v in mixed[1:])
+        got = np.asarray(
+            corr_lookup(mixed, coords, r, method=method,
+                        onehot_from_level=1)
+        )
+        tol = 2e-2 if method == "pallas_q8" else 1e-4
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol)

@@ -48,6 +48,7 @@ def model_config_from(config):
         "remat_updates": bool(model_cfg.get("remat_updates", False)),
         "scan_iters": bool(model_cfg.get("scan_iters", False)),
         "fuse_corr_conv": bool(model_cfg.get("fuse_corr_conv", False)),
+        "onehot_from_level": int(model_cfg.get("onehot_from_level", -1)),
     })
 
 
