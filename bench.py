@@ -32,6 +32,10 @@ def _config_overrides(cfg):
         repl["fuse_corr_conv"] = os.environ["BFLOW_BENCH_FUSE"] == "1"
     if os.environ.get("BFLOW_BENCH_SCAN"):
         repl["scan_iters"] = os.environ["BFLOW_BENCH_SCAN"] == "1"
+    if os.environ.get("BFLOW_BENCH_STEM"):
+        repl["pallas_stem"] = os.environ["BFLOW_BENCH_STEM"] == "1"
+    if os.environ.get("BFLOW_BENCH_ONEHOT_LVL"):
+        repl["onehot_from_level"] = int(os.environ["BFLOW_BENCH_ONEHOT_LVL"])
     if repl:
         print(f"# overrides: {repl}", file=__import__("sys").stderr)
         cfg = dataclasses.replace(cfg, **repl)

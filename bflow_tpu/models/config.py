@@ -86,6 +86,11 @@ class RaftSplineConfig:
     # onehot einsums stay small and fuse into the surrounding graph.
     # -1 disables (all levels through the kernel).
     onehot_from_level: int = -1
+    # encoders' 7x7/s2 stem through the pallas s2d patch-matmul kernel
+    # (ops/pallas/stem_conv.py): full-depth MXU contraction instead of
+    # XLA's K=C-per-tap lowering. bf16 fast mode only; shapes the
+    # kernel does not support fall back to the XLA conv per call.
+    pallas_stem: bool = False
 
     def __post_init__(self):
         assert self.nbins_context > 0 and self.nbins_correlation > 0

@@ -131,6 +131,7 @@ class StemConv(nn.Module):
     features: int = 64
     dtype: Any = None
     use_s2d: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -140,6 +141,19 @@ class StemConv(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,)
         )
+        if self.use_pallas:
+            import os
+
+            from bflow_tpu.ops.pallas import stem_conv
+
+            interp = os.environ.get("BFLOW_PALLAS_INTERPRET", "") == "1"
+            if stem_conv.supported(x.shape, self.dtype) and (
+                interp or jax.default_backend() == "tpu"
+            ):
+                return stem_conv.stem_conv_pallas(
+                    x.astype(self.dtype), jnp.asarray(kernel), bias,
+                    interp,
+                )
         if self.use_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             return _stem_conv_s2d(x, kernel, bias, self.dtype)
         xd = x if self.dtype is None else x.astype(self.dtype)
@@ -192,6 +206,7 @@ class BasicEncoder(nn.Module):
     norm: str = "batch"
     dtype: Any = None
     stem_s2d: bool = False  # s2d stem rewrite (exact, but measured slower)
+    stem_pallas: bool = False  # pallas s2d patch-matmul stem (bf16)
 
     @nn.compact
     def __call__(
@@ -207,7 +222,8 @@ class BasicEncoder(nn.Module):
             x = jnp.concatenate(list(x), axis=0)
 
         x = StemConv(
-            64, dtype=self.dtype, use_s2d=self.stem_s2d, name="conv1"
+            64, dtype=self.dtype, use_s2d=self.stem_s2d,
+            use_pallas=self.stem_pallas, name="conv1",
         )(x)
         x = Norm(self.norm, num_groups=8, dtype=self.dtype, name="norm1")(x, train)
         x = nn.relu(x)

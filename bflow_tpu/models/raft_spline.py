@@ -54,14 +54,18 @@ class RAFTSpline(nn.Module):
     def setup(self):
         cfg = self.config
         dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        ps = cfg.pallas_stem
         if cfg.use_events:
             self.fnet_ev = BasicEncoder(cfg.feature_dim, cfg.feature_norm,
-                                        dtype=dt, name="fnet_ev")
+                                        dtype=dt, stem_pallas=ps,
+                                        name="fnet_ev")
         if cfg.use_images:
             self.fnet_img = BasicEncoder(cfg.feature_dim, cfg.feature_norm,
-                                         dtype=dt, name="fnet_img")
+                                         dtype=dt, stem_pallas=ps,
+                                         name="fnet_img")
         self.cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim,
-                                 cfg.context_norm, dtype=dt, name="cnet")
+                                 cfg.context_norm, dtype=dt,
+                                 stem_pallas=ps, name="cnet")
         block_cls = (
             nn.checkpoint(BasicUpdateBlock)
             if cfg.remat_updates

@@ -49,6 +49,7 @@ def model_config_from(config):
         "scan_iters": bool(model_cfg.get("scan_iters", False)),
         "fuse_corr_conv": bool(model_cfg.get("fuse_corr_conv", False)),
         "onehot_from_level": int(model_cfg.get("onehot_from_level", -1)),
+        "pallas_stem": bool(model_cfg.get("pallas_stem", False)),
     })
 
 
