@@ -34,6 +34,8 @@ def _config_overrides(cfg):
         repl["scan_iters"] = os.environ["BFLOW_BENCH_SCAN"] == "1"
     if os.environ.get("BFLOW_BENCH_STEM"):
         repl["pallas_stem"] = os.environ["BFLOW_BENCH_STEM"] == "1"
+    if os.environ.get("BFLOW_BENCH_CONV"):
+        repl["pallas_conv"] = os.environ["BFLOW_BENCH_CONV"] == "1"
     if os.environ.get("BFLOW_BENCH_ONEHOT_LVL"):
         repl["onehot_from_level"] = int(os.environ["BFLOW_BENCH_ONEHOT_LVL"])
     if repl:

@@ -91,6 +91,10 @@ class RaftSplineConfig:
     # XLA's K=C-per-tap lowering. bf16 fast mode only; shapes the
     # kernel does not support fall back to the XLA conv per call.
     pallas_stem: bool = False
+    # encoders' stride-1 residual 3x3 convs through the pallas
+    # patch-matmul kernel (ops/pallas/conv3x3.py). Same gating rules
+    # as pallas_stem.
+    pallas_conv: bool = False
 
     def __post_init__(self):
         assert self.nbins_context > 0 and self.nbins_correlation > 0

@@ -81,26 +81,68 @@ class Norm(nn.Module):
         raise NotImplementedError(self.kind)
 
 
+class Conv3x3(nn.Module):
+    """3x3 SAME conv with the nn.Conv parameter layout (kernel HWIO +
+    bias), optionally through the pallas patch-matmul kernel
+    (ops/pallas/conv3x3.py) when the stride is 1, the shape qualifies
+    and the backend is TPU (or the interpret escape hatch is set)."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", kaiming_out, (3, 3, x.shape[-1], self.features)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+        if self.use_pallas and self.stride == 1:
+            import os
+
+            from bflow_tpu.ops.pallas import conv3x3
+
+            interp = os.environ.get("BFLOW_PALLAS_INTERPRET", "") == "1"
+            if conv3x3.supported(x.shape, self.dtype) and (
+                interp or jax.default_backend() == "tpu"
+            ):
+                return conv3x3.conv3x3_pallas(
+                    x.astype(self.dtype), jnp.asarray(kernel), bias,
+                    interp,
+                )
+        xd = x if self.dtype is None else x.astype(self.dtype)
+        kd = kernel if self.dtype is None else kernel.astype(self.dtype)
+        bd = bias if self.dtype is None else bias.astype(self.dtype)
+        out = jax.lax.conv_general_dilated(
+            xd, kd, (self.stride, self.stride), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=conv_precision(self.dtype),
+        )
+        return out + bd
+
+
 class ResidualBlock(nn.Module):
     planes: int
     norm: str
     stride: int = 1
     dtype: Any = None
+    conv_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         groups = self.planes // 8
-        y = nn.Conv(
-            self.planes, (3, 3), strides=self.stride, padding=1,
-            kernel_init=kaiming_out, name="conv1", dtype=self.dtype,
-            precision=conv_precision(self.dtype),
+        y = Conv3x3(
+            self.planes, stride=self.stride, dtype=self.dtype,
+            use_pallas=self.conv_pallas, name="conv1",
         )(x)
         y = Norm(self.norm, groups, dtype=self.dtype, name="norm1")(y, train)
         y = nn.relu(y)
-        y = nn.Conv(
-            self.planes, (3, 3), padding=1, kernel_init=kaiming_out,
-            name="conv2", dtype=self.dtype,
-            precision=conv_precision(self.dtype),
+        y = Conv3x3(
+            self.planes, dtype=self.dtype,
+            use_pallas=self.conv_pallas, name="conv2",
         )(y)
         y = Norm(self.norm, groups, dtype=self.dtype, name="norm2")(y, train)
         y = nn.relu(y)
@@ -207,6 +249,7 @@ class BasicEncoder(nn.Module):
     dtype: Any = None
     stem_s2d: bool = False  # s2d stem rewrite (exact, but measured slower)
     stem_pallas: bool = False  # pallas s2d patch-matmul stem (bf16)
+    conv_pallas: bool = False  # residual 3x3s via the pallas conv kernel
 
     @nn.compact
     def __call__(
@@ -232,11 +275,11 @@ class BasicEncoder(nn.Module):
             stride = 1 if stage == 1 else 2
             x = ResidualBlock(
                 planes, self.norm, stride, dtype=self.dtype,
-                name=f"layer{stage}_0",
+                conv_pallas=self.conv_pallas, name=f"layer{stage}_0",
             )(x, train)
             x = ResidualBlock(
                 planes, self.norm, 1, dtype=self.dtype,
-                name=f"layer{stage}_1",
+                conv_pallas=self.conv_pallas, name=f"layer{stage}_1",
             )(x, train)
 
         x = nn.Conv(

@@ -54,18 +54,19 @@ class RAFTSpline(nn.Module):
     def setup(self):
         cfg = self.config
         dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-        ps = cfg.pallas_stem
+        ps, pc = cfg.pallas_stem, cfg.pallas_conv
         if cfg.use_events:
             self.fnet_ev = BasicEncoder(cfg.feature_dim, cfg.feature_norm,
                                         dtype=dt, stem_pallas=ps,
-                                        name="fnet_ev")
+                                        conv_pallas=pc, name="fnet_ev")
         if cfg.use_images:
             self.fnet_img = BasicEncoder(cfg.feature_dim, cfg.feature_norm,
                                          dtype=dt, stem_pallas=ps,
-                                         name="fnet_img")
+                                         conv_pallas=pc, name="fnet_img")
         self.cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim,
                                  cfg.context_norm, dtype=dt,
-                                 stem_pallas=ps, name="cnet")
+                                 stem_pallas=ps, conv_pallas=pc,
+                                 name="cnet")
         block_cls = (
             nn.checkpoint(BasicUpdateBlock)
             if cfg.remat_updates

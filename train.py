@@ -50,6 +50,7 @@ def model_config_from(config):
         "fuse_corr_conv": bool(model_cfg.get("fuse_corr_conv", False)),
         "onehot_from_level": int(model_cfg.get("onehot_from_level", -1)),
         "pallas_stem": bool(model_cfg.get("pallas_stem", False)),
+        "pallas_conv": bool(model_cfg.get("pallas_conv", False)),
     })
 
 
