@@ -106,7 +106,7 @@ class Conv3x3(nn.Module):
             from bflow_tpu.ops.pallas import conv3x3
 
             interp = os.environ.get("BFLOW_PALLAS_INTERPRET", "") == "1"
-            if conv3x3.supported(x.shape, self.dtype) and (
+            if conv3x3.supported(x.shape, self.dtype, self.features) and (
                 interp or jax.default_backend() == "tpu"
             ):
                 return conv3x3.conv3x3_pallas(

@@ -16,24 +16,23 @@ import jax
 import jax.numpy as jnp
 
 from bflow_tpu.models.config import RaftSplineConfig
-from bflow_tpu.models.extractor import conv_precision, kaiming_out
+from bflow_tpu.models.extractor import Conv3x3, conv_precision, kaiming_out
 
 
 class BezierHead(nn.Module):
     bezier_degree: int
     hidden_dim: int = 256
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        prec = conv_precision(self.dtype)
-        x = nn.Conv(self.hidden_dim, (3, 3), padding=1, dtype=self.dtype,
-                    precision=prec,
-                    kernel_init=kaiming_out, name="conv1")(x)
+        x = Conv3x3(self.hidden_dim, dtype=self.dtype,
+                    use_pallas=self.use_pallas, name="conv1")(x)
         x = nn.relu(x)
-        return nn.Conv(self.bezier_degree * 2, (3, 3), padding=1,
-                       dtype=self.dtype, precision=prec,
-                       kernel_init=kaiming_out, name="conv2")(x)
+        # conv2's tiny fan-out (2*degree) always takes the XLA path
+        return Conv3x3(self.bezier_degree * 2, dtype=self.dtype,
+                       use_pallas=self.use_pallas, name="conv2")(x)
 
 
 class Conv2dParams(nn.Module):
@@ -172,7 +171,6 @@ class BasicMotionEncoder(nn.Module):
         assert bezier.shape[-1] == bezier_planes
 
         dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-        prec = conv_precision(dt)
         kc1, bc1 = Conv2dParams((1, 1, cfg.corr_planes, 256),
                                 name="convc1")()
         if isinstance(corr, (list, tuple)):
@@ -206,21 +204,19 @@ class BasicMotionEncoder(nn.Module):
             assert corr.shape[-1] == cfg.corr_planes, (
                 corr.shape, cfg.corr_planes)
             cor = nn.relu(_dot_1x1(corr, kc1, bc1, dt))
-        cor = nn.relu(nn.Conv(192, (3, 3), padding=1, dtype=dt,
-                              precision=prec,
-                              kernel_init=kaiming_out, name="convc2")(cor))
+        pc = cfg.pallas_conv
+        cor = nn.relu(Conv3x3(192, dtype=dt, use_pallas=pc,
+                              name="convc2")(cor))
         kf1, bf1 = Conv2dParams((7, 7, bezier_planes, 128),
                                 name="convf1")()
         bez = nn.relu(_dot_im2col(bezier, kf1, bf1, dt))
-        bez = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=dt,
-                              precision=prec,
-                              kernel_init=kaiming_out, name="convf2")(bez))
+        bez = nn.relu(Conv3x3(64, dtype=dt, use_pallas=pc,
+                              name="convf2")(bez))
 
         both = jnp.concatenate([cor, bez], axis=-1)
         out = nn.relu(
-            nn.Conv(cfg.motion_dim - bezier_planes, (3, 3), padding=1,
-                    kernel_init=kaiming_out, dtype=dt, precision=prec,
-                    name="conv")(both)
+            Conv3x3(cfg.motion_dim - bezier_planes, dtype=dt,
+                    use_pallas=pc, name="conv")(both)
         )
         return jnp.concatenate([out, bezier.astype(out.dtype)], axis=-1)
 
@@ -240,11 +236,11 @@ class BasicUpdateBlock(nn.Module):
         gru_in = jnp.concatenate([inp.astype(motion.dtype), motion], axis=-1)
         net = SepConvGRU(cfg.hidden_dim, dtype=dt, name="gru")(net, gru_in)
         delta = BezierHead(cfg.bezier_degree, dtype=dt,
+                           use_pallas=cfg.pallas_conv,
                            name="bezier_head")(net)
 
-        prec = conv_precision(dt)
-        m = nn.relu(nn.Conv(256, (3, 3), padding=1, kernel_init=kaiming_out,
-                            dtype=dt, precision=prec, name="mask_0")(net))
+        m = nn.relu(Conv3x3(256, dtype=dt, use_pallas=cfg.pallas_conv,
+                            name="mask_0")(net))
         km, bm = Conv2dParams((1, 1, 256, 64 * 9), name="mask_2")()
         m = _dot_1x1(m, km, bm, dt)
         # gradient-balancing scale, reference update.py:125; heads emit

@@ -43,12 +43,13 @@ def _rows_per_dot(w: int, c: int, ri: int) -> int:
     return g
 
 
-def supported(x_shape, dtype) -> bool:
+def supported(x_shape, dtype, out_features=None) -> bool:
     n, h, w, c = x_shape
     return (
         dtype == jnp.bfloat16
         and w % 8 == 0
-        and c <= 128
+        and c <= 256
+        and (out_features is None or out_features >= 32)
         and _pick_ri(h) > 0
     )
 
@@ -130,7 +131,7 @@ def conv3x3_pallas(x, kernel, bias, interpret=False):
     """3x3/s1 SAME conv + bias, bf16 fast mode (see module docstring).
 
     Args:
-      x: (N, H, W, C), W % 8 == 0, C <= 128.
+      x: (N, H, W, C), W % 8 == 0, C <= 256.
       kernel: (3, 3, C, O) HWIO (checkpoint layout).
       bias: (O,).
     Returns:

@@ -37,8 +37,10 @@ def test_conv3x3_matches_xla(rng, shape, o):
 
 def test_conv3x3_unsupported():
     assert not supported((1, 16, 20, 64), jnp.bfloat16)  # W % 8
-    assert not supported((1, 16, 32, 256), jnp.bfloat16)  # C > 128
+    assert not supported((1, 16, 32, 384), jnp.bfloat16)  # C > 256
+    assert not supported((1, 16, 32, 64), jnp.bfloat16, 4)  # tiny fan-out
     assert not supported((1, 16, 32, 64), None)  # f32 parity mode
+    assert supported((1, 16, 32, 256), jnp.bfloat16, 192)  # update convs
 
 
 def test_conv3x3_vjp_matches_xla(rng):
