@@ -66,12 +66,27 @@ def _dot_1x1(x, kernel, bias, dtype):
     return y.reshape(*lead, co) + bias
 
 
-def _dot_im2col(x, kernel, bias, dtype):
+def _dot_im2col(x, kernel, bias, dtype, use_pallas=False):
     """Small-kernel conv as explicit im2col + matmul. For the 7x7 conv
     over 4 bezier channels XLA's conv is ~4x slower than the patch
     matmul (0.95 vs 0.24 ms at B=4, scripts/exp_micro_fixes.py): the
     tiny input channel count starves the conv lowering, while im2col
-    gives a dense K = kh*kw*ci contraction."""
+    gives a dense K = kh*kw*ci contraction. With use_pallas the patch
+    never hits HBM (the pallas conv kernel builds it in VMEM)."""
+    if use_pallas:
+        import os
+
+        from bflow_tpu.ops.pallas import conv3x3
+
+        kh_, kw_ = kernel.shape[0], kernel.shape[1]
+        interp = os.environ.get("BFLOW_PALLAS_INTERPRET", "") == "1"
+        if conv3x3.supported(
+            x.shape, dtype, kernel.shape[-1], kh_, kw_
+        ) and (interp or jax.default_backend() == "tpu"):
+            return conv3x3.conv2d_pallas(
+                x.astype(dtype), jnp.asarray(kernel), jnp.asarray(bias),
+                interp,
+            )
     n, h, w, ci = x.shape
     kh, kw, ki, co = kernel.shape
     assert ki == ci, (kernel.shape, x.shape)
@@ -93,7 +108,22 @@ def _dot_im2col(x, kernel, bias, dtype):
     return y.reshape(n, h, w, co) + bias
 
 
-def _conv(x, kernel, bias, pad, dtype):
+def _conv(x, kernel, bias, pad, dtype, use_pallas=False):
+    if use_pallas:
+        import os
+
+        from bflow_tpu.ops.pallas import conv3x3
+
+        kh, kw = kernel.shape[0], kernel.shape[1]
+        interp = os.environ.get("BFLOW_PALLAS_INTERPRET", "") == "1"
+        if conv3x3.supported(
+            x.shape, dtype, kernel.shape[-1], kh, kw
+        ) and (interp or jax.default_backend() == "tpu"):
+            # pad is SAME for these odd windows by construction
+            return conv3x3.conv2d_pallas(
+                x.astype(dtype), jnp.asarray(kernel), jnp.asarray(bias),
+                interp,
+            )
     if dtype is not None:
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
@@ -121,11 +151,13 @@ class SepConvGRU(nn.Module):
     hidden_dim: int = 128
     dtype: Any = None
     fused: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
         d = self.hidden_dim
         in_ch = d + x.shape[-1]
+        up = self.use_pallas
 
         def half(h, x, kernel, pad, suffix):
             shape = (*kernel, in_ch, d)
@@ -139,21 +171,22 @@ class SepConvGRU(nn.Module):
                 kq_x = kq.at[:, :, :d, :].set(0.0)
                 kf = jnp.concatenate([kz, kr, kq_x], axis=-1)
                 bf = jnp.concatenate([bz, br, bq])
-                zrq = _conv(hx, kf, bf, pad, self.dtype)
+                zrq = _conv(hx, kf, bf, pad, self.dtype, up)
                 z = nn.sigmoid(zrq[..., :d])
                 r = nn.sigmoid(zrq[..., d : 2 * d])
                 qx = zrq[..., 2 * d :]
                 kq_h = kq[:, :, :d, :]
                 q = nn.tanh(
                     _conv(r * h.astype(r.dtype), kq_h,
-                          jnp.zeros((d,), kq_h.dtype), pad, self.dtype)
+                          jnp.zeros((d,), kq_h.dtype), pad, self.dtype,
+                          up)
                     + qx
                 )
             else:
-                z = nn.sigmoid(_conv(hx, kz, bz, pad, self.dtype))
-                r = nn.sigmoid(_conv(hx, kr, br, pad, self.dtype))
+                z = nn.sigmoid(_conv(hx, kz, bz, pad, self.dtype, up))
+                r = nn.sigmoid(_conv(hx, kr, br, pad, self.dtype, up))
                 rhx = jnp.concatenate([r * h.astype(r.dtype), x], axis=-1)
-                q = nn.tanh(_conv(rhx, kq, bq, pad, self.dtype))
+                q = nn.tanh(_conv(rhx, kq, bq, pad, self.dtype, up))
             return (1.0 - z) * h.astype(z.dtype) + z * q
 
         h = half(h, x, (1, 5), ((0, 0), (2, 2)), "1")  # horizontal pass
@@ -209,7 +242,7 @@ class BasicMotionEncoder(nn.Module):
                               name="convc2")(cor))
         kf1, bf1 = Conv2dParams((7, 7, bezier_planes, 128),
                                 name="convf1")()
-        bez = nn.relu(_dot_im2col(bezier, kf1, bf1, dt))
+        bez = nn.relu(_dot_im2col(bezier, kf1, bf1, dt, pc))
         bez = nn.relu(Conv3x3(64, dtype=dt, use_pallas=pc,
                               name="convf2")(bez))
 
@@ -234,7 +267,8 @@ class BasicUpdateBlock(nn.Module):
         dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         motion = BasicMotionEncoder(cfg, name="encoder")(bezier, corr)
         gru_in = jnp.concatenate([inp.astype(motion.dtype), motion], axis=-1)
-        net = SepConvGRU(cfg.hidden_dim, dtype=dt, name="gru")(net, gru_in)
+        net = SepConvGRU(cfg.hidden_dim, dtype=dt,
+                         use_pallas=cfg.pallas_conv, name="gru")(net, gru_in)
         delta = BezierHead(cfg.bezier_degree, dtype=dt,
                            use_pallas=cfg.pallas_conv,
                            name="bezier_head")(net)

@@ -18,16 +18,21 @@ def _rel(a, b):
 
 
 @pytest.mark.parametrize(
-    "shape,o",
-    [((2, 16, 32, 64), 64), ((1, 12, 24, 96), 96),
-     ((1, 8, 16, 128), 128), ((1, 10, 40, 15), 64)],
+    "shape,o,kh,kw",
+    [((2, 16, 32, 64), 64, 3, 3), ((1, 12, 24, 96), 96, 3, 3),
+     ((1, 8, 16, 128), 128, 3, 3), ((1, 10, 40, 15), 64, 3, 3),
+     ((1, 12, 16, 384), 384, 1, 5),  # fused GRU gate conv, horizontal
+     ((1, 12, 16, 384), 384, 5, 1),  # vertical pass
+     ((1, 8, 16, 4), 128, 7, 7),  # motion encoder convf1
+     ((1, 12, 62, 64), 64, 3, 3)],  # MultiFlow w1=62 (pad/slice path)
 )
-def test_conv3x3_matches_xla(rng, shape, o):
+def test_conv3x3_matches_xla(rng, shape, o, kh, kw):
     n, h, w, c = shape
     x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((3, 3, c, o)) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kh, kw, c, o)) * 0.1,
+                    jnp.float32)
     b = jnp.asarray(rng.standard_normal(o) * 0.1, jnp.float32)
-    assert supported(shape, jnp.bfloat16)
+    assert supported(shape, jnp.bfloat16, o, kh, kw)
 
     got = conv3x3_pallas(x.astype(jnp.bfloat16), k, b, True)
     want = _conv_xla(x, k, b)
@@ -36,11 +41,12 @@ def test_conv3x3_matches_xla(rng, shape, o):
 
 
 def test_conv3x3_unsupported():
-    assert not supported((1, 16, 20, 64), jnp.bfloat16)  # W % 8
-    assert not supported((1, 16, 32, 384), jnp.bfloat16)  # C > 256
     assert not supported((1, 16, 32, 64), jnp.bfloat16, 4)  # tiny fan-out
     assert not supported((1, 16, 32, 64), None)  # f32 parity mode
+    # VMEM budget guard: very wide K * O working sets stay on XLA
+    assert not supported((1, 16, 640, 512), jnp.bfloat16, 512, 5, 5)
     assert supported((1, 16, 32, 256), jnp.bfloat16, 192)  # update convs
+    assert supported((1, 16, 20, 64), jnp.bfloat16)  # W%8 pads+slices
 
 
 def test_conv3x3_vjp_matches_xla(rng):
