@@ -40,16 +40,22 @@ def main() -> None:
         per = (results[r2] - results[r1]) / (r2 - r1) * 1e3
         print(f"{label:30s} {per:8.3f} ms/op", flush=True)
 
-    # (inputs, H, W, C): stage-1/2/3 of the 26-input encoder set at B=4
-    for name, (n, h, w, c) in {
-        "stage1_26x240x320x64": (26 * B // 4, 240, 320, 64),
-        "stage2_26x120x160x96": (26 * B // 4, 120, 160, 96),
-        "stage3_26x60x80x128": (26 * B // 4, 60, 80, 128),
+    # (inputs, H, W, C, O, kh, kw): encoder stages (26-input set at
+    # B=4), the fused GRU gate conv, and the update-block 3x3s
+    for name, (n, h, w, c, o, kh, kw) in {
+        "stage1_26x240x320x64": (26 * B // 4, 240, 320, 64, 64, 3, 3),
+        "stage2_26x120x160x96": (26 * B // 4, 120, 160, 96, 96, 3, 3),
+        "stage3_26x60x80x128": (26 * B // 4, 60, 80, 128, 128, 3, 3),
+        "gru_1x5_60x80x384": (B, 60, 80, 384, 384, 1, 5),
+        "gru_5x1_60x80x384": (B, 60, 80, 384, 384, 5, 1),
+        "convc2_60x80x256_192": (B, 60, 80, 256, 192, 3, 3),
+        "mask0_60x80x128_256": (B, 60, 80, 128, 256, 3, 3),
+        "convf1_7x7_60x80x4_128": (B, 60, 80, 4, 128, 7, 7),
     }.items():
         x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.bfloat16)
-        k = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1,
+        k = jnp.asarray(rng.standard_normal((kh, kw, c, o)) * 0.1,
                         jnp.float32)
-        b = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(o) * 0.1, jnp.float32)
 
         def timed(fn, label):
             cache = {}

@@ -106,6 +106,60 @@ def main() -> None:
             )
             ok &= e_fwd[1] < 1e-5 and e_dv[1] < 1e-5 and e_dc[1] < 1e-4
 
+    # --- int8 slab lookup (forward-only): quantization-bounded ------
+    from bflow_tpu.ops.pallas.corr_lookup_v3 import (
+        lookup_level_slab_q8,
+        quantize_volume,
+    )
+
+    idx0, vol0 = pyramid[0]
+    coords = jnp.asarray(
+        (base[None])
+        + rng.uniform(-9, 9, (len(idx0), N, h1, w1, 2)).astype(np.float32)
+    )
+    q, scale = jax.jit(quantize_volume)(vol0)
+    out_q = jax.jit(
+        lambda q, s, c: lookup_level_slab_q8(to_slab(q), s, c, cfg.radius)
+    )(q, scale, coords)
+    out_g = jax.jit(
+        lambda v, c: _lookup_level_gather(v, c, cfg.radius)
+    )(vol0, coords)
+    e = err(out_q, out_g)
+    print(f"q8 lookup level 0: fwd abs={e[0]:.2e} rel={e[1]:.2e}")
+    ok &= e[1] < 2e-2
+
+    # --- stem + generalized conv kernels (bf16, vs XLA bf16 conv) ---
+    from bflow_tpu.ops.pallas.conv3x3 import _conv_xla, conv2d_pallas
+    from bflow_tpu.ops.pallas.stem_conv import _stem_xla, stem_conv_pallas
+
+    x = jnp.asarray(
+        rng.standard_normal((2, 480, 640, 15)), jnp.bfloat16
+    )
+    k = jnp.asarray(rng.standard_normal((7, 7, 15, 64)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(64) * 0.1, jnp.float32)
+    e = err(jax.jit(stem_conv_pallas)(x, k, b),
+            jax.jit(_stem_xla)(x, k, b))
+    print(f"stem 480x640x15: fwd abs={e[0]:.2e} rel={e[1]:.2e}")
+    ok &= e[1] < 2e-2
+
+    for (n, h, w, c, o, kh, kw) in (
+        (2, 240, 320, 64, 64, 3, 3),
+        (2, 60, 80, 384, 384, 1, 5),
+        (2, 60, 80, 384, 384, 5, 1),
+        (2, 60, 80, 256, 192, 3, 3),
+        (2, 60, 80, 4, 128, 7, 7),
+        (2, 46, 62, 128, 128, 3, 3),  # MultiFlow 1/8-res shapes
+    ):
+        x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((kh, kw, c, o)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal(o) * 0.1, jnp.float32)
+        e = err(jax.jit(conv2d_pallas)(x, k, b),
+                jax.jit(_conv_xla)(x, k, b))
+        print(f"conv {kh}x{kw} {n}x{h}x{w}x{c}->{o}: "
+              f"fwd abs={e[0]:.2e} rel={e[1]:.2e}")
+        ok &= e[1] < 2e-2
+
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
