@@ -100,16 +100,23 @@ class Conv3x3(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,)
         )
-        if self.use_pallas and self.stride == 1:
+        if self.use_pallas:
             import os
 
-            from bflow_tpu.ops.pallas import conv3x3
+            from bflow_tpu.ops.pallas import conv3x3, stem_conv
 
             interp = os.environ.get("BFLOW_PALLAS_INTERPRET", "") == "1"
-            if conv3x3.supported(x.shape, self.dtype, self.features) and (
-                interp or jax.default_backend() == "tpu"
-            ):
-                return conv3x3.conv3x3_pallas(
+            on_tpu = interp or jax.default_backend() == "tpu"
+            if (self.stride == 1 and on_tpu
+                    and conv3x3.supported(x.shape, self.dtype,
+                                          self.features)):
+                return conv3x3.conv2d_pallas(
+                    x.astype(self.dtype), jnp.asarray(kernel), bias,
+                    interp,
+                )
+            if (self.stride == 2 and on_tpu
+                    and stem_conv.supported(x.shape, self.dtype, 3, 3)):
+                return stem_conv.stem_conv_pallas(
                     x.astype(self.dtype), jnp.asarray(kernel), bias,
                     interp,
                 )

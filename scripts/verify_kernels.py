@@ -142,6 +142,18 @@ def main() -> None:
     print(f"stem 480x640x15: fwd abs={e[0]:.2e} rel={e[1]:.2e}")
     ok &= e[1] < 2e-2
 
+    for (n, h, w, c, o) in ((2, 240, 320, 64, 96), (2, 120, 160, 96, 128),
+                            (2, 92, 124, 96, 128)):  # stage-s2 + MultiFlow
+        x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((3, 3, c, o)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal(o) * 0.1, jnp.float32)
+        e = err(jax.jit(stem_conv_pallas)(x, k, b),
+                jax.jit(_stem_xla)(x, k, b))
+        print(f"s2 conv 3x3 {n}x{h}x{w}x{c}->{o}: "
+              f"fwd abs={e[0]:.2e} rel={e[1]:.2e}")
+        ok &= e[1] < 2e-2
+
     for (n, h, w, c, o, kh, kw) in (
         (2, 240, 320, 64, 64, 3, 3),
         (2, 60, 80, 384, 384, 1, 5),

@@ -18,18 +18,24 @@ def _rel(a, b):
 
 
 @pytest.mark.parametrize(
-    "shape", [(2, 32, 64, 15), (1, 24, 48, 3), (1, 32, 32, 18)]
+    "shape,o,kh",
+    [((2, 32, 64, 15), 64, 7), ((1, 24, 48, 3), 64, 7),
+     ((1, 32, 32, 18), 64, 7),
+     ((2, 24, 32, 64), 96, 3),  # stage-2 downsampling conv
+     ((1, 16, 24, 96), 128, 3),  # stage-3
+     ((1, 12, 28, 64), 96, 3)],  # odd half-width (pad/slice path)
 )
-def test_stem_forward_matches_xla_conv(rng, shape):
+def test_stem_forward_matches_xla_conv(rng, shape, o, kh):
     n, h, w, c = shape
     x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((7, 7, c, 64)) * 0.1, jnp.float32)
-    b = jnp.asarray(rng.standard_normal(64) * 0.1, jnp.float32)
-    assert supported(shape, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((kh, kh, c, o)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(o) * 0.1, jnp.float32)
+    assert supported(shape, jnp.bfloat16, kh, kh)
 
     got = stem_conv_pallas(x.astype(jnp.bfloat16), k, b, True)
     want = _stem_xla(x, k, b)
-    assert got.shape == (n, h // 2, w // 2, 64)
+    assert got.shape == (n, h // 2, w // 2, o)
     assert got.dtype == jnp.bfloat16
     # both sides are bf16 convs with f32 accumulation; they differ only
     # in accumulation order
@@ -38,8 +44,9 @@ def test_stem_forward_matches_xla_conv(rng, shape):
 
 def test_stem_unsupported_shapes():
     assert not supported((1, 33, 64, 15), jnp.bfloat16)  # odd H
-    assert not supported((1, 32, 64, 40), jnp.bfloat16)  # C > 32
+    assert not supported((1, 32, 64, 40), jnp.bfloat16)  # K > budget
     assert not supported((1, 32, 64, 15), None)  # f32 parity mode
+    assert not supported((1, 32, 64, 64), jnp.bfloat16, 5, 5)  # kh//2 even
 
 
 def test_stem_vjp_matches_xla_grads(rng):
