@@ -81,6 +81,39 @@ class Norm(nn.Module):
         raise NotImplementedError(self.kind)
 
 
+class Conv1x1(nn.Module):
+    """1x1 conv as (strided subsample +) reshape + matmul, with the
+    nn.Conv parameter layout. XLA's conv lowering leaves ~3-6x on the
+    table for 1x1 convs at small spatial sizes (measured on the update
+    block's convc1, models/update.py:_dot_1x1); a plain dot hits the
+    MXU directly, and a strided 1x1 is exactly a subsample + dot."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", kaiming_out, (1, 1, x.shape[-1], self.features)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+        if self.stride != 1:
+            x = x[:, :: self.stride, :: self.stride, :]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        *lead, ci = x.shape
+        y = jnp.matmul(
+            x.reshape(-1, ci), kernel.reshape(ci, self.features),
+            precision=conv_precision(self.dtype),
+        )
+        return y.reshape(*lead, self.features) + bias
+
+
 class Conv3x3(nn.Module):
     """3x3 SAME conv with the nn.Conv parameter layout (kernel HWIO +
     bias), optionally through the pallas patch-matmul kernel
@@ -155,10 +188,9 @@ class ResidualBlock(nn.Module):
         y = nn.relu(y)
 
         if self.stride != 1:
-            x = nn.Conv(
-                self.planes, (1, 1), strides=self.stride,
-                kernel_init=kaiming_out, name="ds_conv", dtype=self.dtype,
-                precision=conv_precision(self.dtype),
+            x = Conv1x1(
+                self.planes, stride=self.stride, dtype=self.dtype,
+                name="ds_conv",
             )(x)
             x = Norm(self.norm, groups, dtype=self.dtype, name="ds_norm")(x, train)
 
@@ -289,10 +321,7 @@ class BasicEncoder(nn.Module):
                 conv_pallas=self.conv_pallas, name=f"layer{stage}_1",
             )(x, train)
 
-        x = nn.Conv(
-            self.output_dim, (1, 1), kernel_init=kaiming_out, name="conv2",
-            dtype=self.dtype, precision=conv_precision(self.dtype),
-        )(x)
+        x = Conv1x1(self.output_dim, dtype=self.dtype, name="conv2")(x)
 
         if is_list:
             return [x[i * n : (i + 1) * n] for i in range(parts)]

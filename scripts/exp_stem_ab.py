@@ -50,18 +50,21 @@ def main() -> None:
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     rng = np.random.default_rng(0)
 
-    # (inputs, H, W, C): ev encoder (5 grids), img encoder (2), cnet (1)
-    for name, (n, h, w, c) in {
-        "ev_stem_20x480x640x15": (5 * B, 480, 640, 15),
-        "img_stem_8x480x640x3": (2 * B, 480, 640, 3),
-        "cnet_stem_4x480x640x18": (B, 480, 640, 18),
+    # (inputs, H, W, C, O, k): the three 7x7 stems (ev encoder 5 grids,
+    # img encoder 2, cnet 1) + the 3x3/s2 stage downsampling convs
+    for name, (n, h, w, c, o, kk) in {
+        "ev_stem_20x480x640x15": (5 * B, 480, 640, 15, 64, 7),
+        "img_stem_8x480x640x3": (2 * B, 480, 640, 3, 64, 7),
+        "cnet_stem_4x480x640x18": (B, 480, 640, 18, 64, 7),
+        "stage2_s2_26x240x320x64": (26 * B // 4, 240, 320, 64, 96, 3),
+        "stage3_s2_26x120x160x96": (26 * B // 4, 120, 160, 96, 128, 3),
     }.items():
         x = jnp.asarray(
             rng.standard_normal((n, h, w, c)), jnp.bfloat16
         )
-        k = jnp.asarray(rng.standard_normal((7, 7, c, 64)) * 0.1,
+        k = jnp.asarray(rng.standard_normal((kk, kk, c, o)) * 0.1,
                         jnp.float32)
-        b = jnp.asarray(rng.standard_normal(64) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(o) * 0.1, jnp.float32)
 
         def timed(fn, label):
             def make(R):
