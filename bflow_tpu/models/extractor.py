@@ -124,6 +124,7 @@ class Conv3x3(nn.Module):
     stride: int = 1
     dtype: Any = None
     use_pallas: bool = False
+    relu: bool = False  # fused epilogue on the pallas path
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -145,14 +146,15 @@ class Conv3x3(nn.Module):
                                           self.features)):
                 return conv3x3.conv2d_pallas(
                     x.astype(self.dtype), jnp.asarray(kernel), bias,
-                    interp,
+                    interp, self.relu,
                 )
             if (self.stride == 2 and on_tpu
                     and stem_conv.supported(x.shape, self.dtype, 3, 3)):
-                return stem_conv.stem_conv_pallas(
+                out = stem_conv.stem_conv_pallas(
                     x.astype(self.dtype), jnp.asarray(kernel), bias,
                     interp,
                 )
+                return nn.relu(out) if self.relu else out
         xd = x if self.dtype is None else x.astype(self.dtype)
         kd = kernel if self.dtype is None else kernel.astype(self.dtype)
         bd = bias if self.dtype is None else bias.astype(self.dtype)
@@ -161,7 +163,8 @@ class Conv3x3(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=conv_precision(self.dtype),
         )
-        return out + bd
+        out = out + bd
+        return nn.relu(out) if self.relu else out
 
 
 class ResidualBlock(nn.Module):

@@ -28,8 +28,8 @@ class BezierHead(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = Conv3x3(self.hidden_dim, dtype=self.dtype,
-                    use_pallas=self.use_pallas, name="conv1")(x)
-        x = nn.relu(x)
+                    use_pallas=self.use_pallas, relu=True,
+                    name="conv1")(x)
         # conv2's tiny fan-out (2*degree) always takes the XLA path
         return Conv3x3(self.bezier_degree * 2, dtype=self.dtype,
                        use_pallas=self.use_pallas, name="conv2")(x)
@@ -238,19 +238,17 @@ class BasicMotionEncoder(nn.Module):
                 corr.shape, cfg.corr_planes)
             cor = nn.relu(_dot_1x1(corr, kc1, bc1, dt))
         pc = cfg.pallas_conv
-        cor = nn.relu(Conv3x3(192, dtype=dt, use_pallas=pc,
-                              name="convc2")(cor))
+        cor = Conv3x3(192, dtype=dt, use_pallas=pc, relu=True,
+                      name="convc2")(cor)
         kf1, bf1 = Conv2dParams((7, 7, bezier_planes, 128),
                                 name="convf1")()
         bez = nn.relu(_dot_im2col(bezier, kf1, bf1, dt, pc))
-        bez = nn.relu(Conv3x3(64, dtype=dt, use_pallas=pc,
-                              name="convf2")(bez))
+        bez = Conv3x3(64, dtype=dt, use_pallas=pc, relu=True,
+                      name="convf2")(bez)
 
         both = jnp.concatenate([cor, bez], axis=-1)
-        out = nn.relu(
-            Conv3x3(cfg.motion_dim - bezier_planes, dtype=dt,
-                    use_pallas=pc, name="conv")(both)
-        )
+        out = Conv3x3(cfg.motion_dim - bezier_planes, dtype=dt,
+                      use_pallas=pc, relu=True, name="conv")(both)
         return jnp.concatenate([out, bezier.astype(out.dtype)], axis=-1)
 
 
@@ -273,8 +271,8 @@ class BasicUpdateBlock(nn.Module):
                            use_pallas=cfg.pallas_conv,
                            name="bezier_head")(net)
 
-        m = nn.relu(Conv3x3(256, dtype=dt, use_pallas=cfg.pallas_conv,
-                            name="mask_0")(net))
+        m = Conv3x3(256, dtype=dt, use_pallas=cfg.pallas_conv,
+                    relu=True, name="mask_0")(net)
         km, bm = Conv2dParams((1, 1, 256, 64 * 9), name="mask_2")()
         m = _dot_1x1(m, km, bm, dt)
         # gradient-balancing scale, reference update.py:125; heads emit

@@ -67,7 +67,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(x0_ref, x1_ref, w_ref, b_ref, out_ref, p_scr, *,
-            ri, w, g, kh, kw):
+            ri, w, g, kh, kw, relu):
     c = x0_ref.shape[-1]
     for r0 in range(0, ri, g):
         for rr in range(g):
@@ -86,13 +86,15 @@ def _kernel(x0_ref, x1_ref, w_ref, b_ref, out_ref, p_scr, *,
             p_scr[:], w_ref[:],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        o = (acc + b_ref[0]).astype(out_ref.dtype)
+        ) + b_ref[0]
+        if relu:  # fused epilogue: saves a full HBM round trip
+            acc = jnp.maximum(acc, 0.0)
+        o = acc.astype(out_ref.dtype)
         for rr in range(g):
             out_ref[0, r0 + rr] = o[rr * w : (rr + 1) * w, :]
 
 
-def _fwd(x, kernel, bias, interpret=False):
+def _fwd(x, kernel, bias, interpret=False, relu=False):
     n, h, w0, c = x.shape
     kh, kw, kc, o = kernel.shape
     assert kc == c and kh % 2 == 1 and kw % 2 == 1, (kernel.shape, x.shape)
@@ -115,7 +117,8 @@ def _fwd(x, kernel, bias, interpret=False):
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, ri=ri, w=w, g=g, kh=kh, kw=kw),
+        functools.partial(_kernel, ri=ri, w=w, g=g, kh=kh, kw=kw,
+                          relu=relu),
         grid=(n, h // ri),
         in_specs=[
             blk(0),
@@ -148,8 +151,8 @@ def _conv_xla(x, kernel, bias):
     return out + bias.astype(jnp.bfloat16)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def conv2d_pallas(x, kernel, bias, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv2d_pallas(x, kernel, bias, interpret=False, relu=False):
     """Odd-window stride-1 SAME conv + bias, bf16 fast mode.
 
     Args:
@@ -160,16 +163,18 @@ def conv2d_pallas(x, kernel, bias, interpret=False):
       (N, H, W, O) bf16 — the bf16 XLA conv up to f32 accumulation
       order.
     """
-    return _fwd(x, kernel, bias, interpret)
+    return _fwd(x, kernel, bias, interpret, relu)
 
 
-def _vjp_fwd(x, kernel, bias, interpret):
-    return _fwd(x, kernel, bias, interpret), (x, kernel, bias)
+def _vjp_fwd(x, kernel, bias, interpret, relu):
+    return _fwd(x, kernel, bias, interpret, relu), (x, kernel, bias)
 
 
-def _vjp_bwd(interpret, residuals, g):
+def _vjp_bwd(interpret, relu, residuals, g):
     x, kernel, bias = residuals
-    _, vjp = jax.vjp(_conv_xla, x, kernel, bias)
+    ref = ((lambda x, k, b: jnp.maximum(_conv_xla(x, k, b), 0))
+           if relu else _conv_xla)
+    _, vjp = jax.vjp(ref, x, kernel, bias)
     dx, dk, db = vjp(g.astype(jnp.bfloat16))
     return (dx.astype(x.dtype), dk.astype(kernel.dtype),
             db.astype(bias.dtype))
