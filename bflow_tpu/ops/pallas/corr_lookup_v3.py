@@ -128,8 +128,12 @@ def _fwd_kernel(
         # int8 volume + per-row dequant scale (see quantize_slab); the
         # scale folds into the y-hat weights for free and the int8 band
         # is cast to bf16 at the point of contraction (values <= 127
-        # are exact in bf16), so the blend numerics stay bf16-grade
+        # are exact in bf16), so the blend numerics stay bf16-grade.
+        # The scale arrives as the FULL (1, h1) row vector in SMEM (a
+        # (1, ri) block would violate the TPU block-shape rule), so the
+        # kernel indexes it at the absolute row.
         sc_ref, xp_ref, yc_ref, vol_ref, out_ref, s2_scr, d_scr = refs
+        row0 = pl.program_id(1) * ri
         dt = jnp.bfloat16
     else:
         xp_ref, yc_ref, vol_ref, out_ref, s2_scr, d_scr = refs
@@ -145,7 +149,7 @@ def _fwd_kernel(
         ey2 = _hat(yv, hp, 1)  # (cw, hp)
         band = vol_ref[0, rl, :, c * cb : (c + 1) * cb]
         if quant:
-            ey2 = ey2 * sc_ref[0, rl]
+            ey2 = ey2 * sc_ref[0, row0 + rl]
             band = band.astype(dt)
         ey2 = ey2.astype(dt)
         return jax.lax.dot_general(
@@ -303,7 +307,7 @@ def _fwd_impl(vol, coords, radius, interpret, ri_override=None,
     operands = [xp, yc, volr]
     if quant:
         in_specs.insert(0, pl.BlockSpec(
-            (1, ri), lambda t, i: (t, i), memory_space=pltpu.SMEM
+            (1, h1), lambda t, i: (t, 0), memory_space=pltpu.SMEM
         ))
         operands.insert(
             0, scale.reshape(Tl * N, h1).astype(jnp.float32)

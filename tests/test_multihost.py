@@ -21,10 +21,6 @@ import sys
 import textwrap
 from pathlib import Path
 
-import pytest
-
-pytestmark = pytest.mark.slow
-
 _WORKER = textwrap.dedent(
     """
     import os, sys
