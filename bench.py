@@ -38,6 +38,10 @@ def _config_overrides(cfg):
         repl["pallas_conv"] = os.environ["BFLOW_BENCH_CONV"] == "1"
     if os.environ.get("BFLOW_BENCH_ONEHOT_LVL"):
         repl["onehot_from_level"] = int(os.environ["BFLOW_BENCH_ONEHOT_LVL"])
+    if os.environ.get("BFLOW_BENCH_MERGED"):
+        repl["merged_stem"] = os.environ["BFLOW_BENCH_MERGED"] == "1"
+    if os.environ.get("BFLOW_BENCH_DOT"):
+        repl["dot_update_convs"] = os.environ["BFLOW_BENCH_DOT"] == "1"
     if repl:
         print(f"# overrides: {repl}", file=__import__("sys").stderr)
         cfg = dataclasses.replace(cfg, **repl)
@@ -96,7 +100,13 @@ def main() -> None:
     # the smaller batches exist ONLY as fallbacks if a regression ever
     # OOMs batch 16 — trying 16 first avoids two extra multi-minute
     # 480x640 compiles per bench run
-    for batch in (16, 8, 1):
+    batches = (16, 8, 1)
+    if os.environ.get("BFLOW_BENCH_BATCH"):
+        # A/B hook: try a specific batch first (e.g. q8 frees ~3 GB of
+        # volume HBM, so batches > 16 become feasible), keeping the
+        # standard ladder as OOM fallback.
+        batches = (int(os.environ["BFLOW_BENCH_BATCH"]),) + batches
+    for batch in batches:
         if best > 0.0:
             break  # a larger batch already succeeded
         try:

@@ -114,16 +114,61 @@ class Conv1x1(nn.Module):
         return y.reshape(*lead, self.features) + bias
 
 
+def dot_1x1(x, kernel, bias, dtype):
+    """1x1 conv as reshape+matmul. XLA's TPU conv lowering leaves ~3-6x
+    on the table for 1x1 convs at 60x80 spatial (measured 0.53 vs 0.18
+    ms for convc1 at B=4, scripts/exp_micro_fixes.py); a plain dot hits
+    the MXU directly."""
+    *lead, ci = x.shape
+    kh, kw, ki, co = kernel.shape
+    assert (kh, kw, ki) == (1, 1, ci), (kernel.shape, x.shape)
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        bias = bias.astype(dtype)
+    y = jnp.matmul(x.reshape(-1, ci), kernel.reshape(ci, co),
+                   precision=conv_precision(dtype))
+    return y.reshape(*lead, co) + bias
+
+
+def dot_im2col(x, kernel, bias, dtype):
+    """Small-window SAME conv as explicit im2col + matmul — a dense
+    K = kh*kw*ci MXU contraction that stays inside XLA's fusion graph
+    (unlike a pallas call). Wins 3-4x per conv in isolation at the
+    update block's 60x80 shapes (scripts/exp_dot_convs.py)."""
+    n, h, w, ci = x.shape
+    kh, kw, ki, co = kernel.shape
+    assert ki == ci, (kernel.shape, x.shape)
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        bias = bias.astype(dtype)
+    ph, pw = kh // 2, kw // 2
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    cols = [
+        jax.lax.dynamic_slice(xp, (0, dy, dx, 0), (n, h, w, ci))
+        for dy in range(kh)
+        for dx in range(kw)
+    ]
+    patch = jnp.concatenate(cols, axis=-1)
+    y = jnp.matmul(patch.reshape(-1, kh * kw * ci),
+                   kernel.reshape(kh * kw * ci, co),
+                   precision=conv_precision(dtype))
+    return y.reshape(n, h, w, co) + bias
+
+
 class Conv3x3(nn.Module):
     """3x3 SAME conv with the nn.Conv parameter layout (kernel HWIO +
     bias), optionally through the pallas patch-matmul kernel
     (ops/pallas/conv3x3.py) when the stride is 1, the shape qualifies
-    and the backend is TPU (or the interpret escape hatch is set)."""
+    and the backend is TPU (or the interpret escape hatch is set), or
+    as the XLA im2col+dot form (use_dot)."""
 
     features: int
     stride: int = 1
     dtype: Any = None
     use_pallas: bool = False
+    use_dot: bool = False  # im2col+dot form (stride 1 only)
     relu: bool = False  # fused epilogue on the pallas path
 
     @nn.compact
@@ -134,6 +179,10 @@ class Conv3x3(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,)
         )
+        if self.use_dot and self.stride == 1:
+            out = dot_im2col(x, jnp.asarray(kernel), jnp.asarray(bias),
+                             self.dtype)
+            return nn.relu(out) if self.relu else out
         if self.use_pallas:
             import os
 
@@ -210,21 +259,35 @@ class StemConv(nn.Module):
     intermediate out badly for the following conv (an
     optimization_barrier does not recover it — scripts/exp_encoder2.py),
     so the classic rewrite loses despite its friendlier contraction.
+
+    Merged multi-target mode (`merged=(offsets, width)`): the event
+    encoder's inputs are overlapping `width`-bin slices of one voxel
+    grid at the given channel offsets (raft_spline._gen_voxel_grids).
+    The stem is linear, so the per-slice convs are ONE conv over the
+    union span with a densified kernel whose k-th 64-wide output block
+    holds the canonical weights at channel offset `offsets[k]` — the
+    grid streams from HBM once (vs once per slice) and the MXU sees a
+    parts*64-wide contraction. Exact, parameters untouched. Output is
+    reshaped to the slice-major batch the list path produces.
     """
 
     features: int = 64
     dtype: Any = None
     use_s2d: bool = False
     use_pallas: bool = False
+    merged: Any = None  # (offsets tuple, slice width) or None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = self.merged[1] if self.merged else x.shape[-1]
         kernel = self.param(
-            "kernel", kaiming_out, (7, 7, x.shape[-1], self.features)
+            "kernel", kaiming_out, (7, 7, in_ch, self.features)
         )
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,)
         )
+        if self.merged:
+            return self._merged_forward(x, kernel, bias)
         if self.use_pallas:
             import os
 
@@ -249,6 +312,59 @@ class StemConv(nn.Module):
             precision=conv_precision(self.dtype),
         )
         return out + bd
+
+    def _merged_forward(self, x, kernel, bias):
+        offsets, width = self.merged
+        parts = len(offsets)
+        n = x.shape[0]
+        span = max(offsets) + width
+        assert x.shape[-1] == span, (x.shape, offsets, width)
+        o = self.features
+        kernel = jnp.asarray(kernel)  # imported params may be NumPy
+        dense = jnp.zeros((7, 7, span, parts * o), kernel.dtype)
+        for k, off in enumerate(offsets):
+            dense = dense.at[:, :, off : off + width,
+                             k * o : (k + 1) * o].set(kernel)
+        bias_d = jnp.tile(jnp.asarray(bias), parts)
+        if self.use_pallas:
+            import os
+
+            from bflow_tpu.ops.pallas import stem_conv
+
+            interp = os.environ.get("BFLOW_PALLAS_INTERPRET", "") == "1"
+            if stem_conv.supported(x.shape, self.dtype) and (
+                interp or jax.default_backend() == "tpu"
+            ):
+                out = stem_conv.stem_conv_pallas(
+                    x.astype(self.dtype), dense, bias_d, interp
+                )
+                return self._merged_split(out, n, parts, o)
+        xd = x if self.dtype is None else x.astype(self.dtype)
+        kd = dense if self.dtype is None else dense.astype(self.dtype)
+        bd = bias_d if self.dtype is None else bias_d.astype(self.dtype)
+        out = jax.lax.conv_general_dilated(
+            xd, kd, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=conv_precision(self.dtype),
+        ) + bd
+        return self._merged_split(out, n, parts, o)
+
+    @staticmethod
+    def _merged_split(out, n, parts, o):
+        """(N, Hs, Ws, parts*O) -> slice-major (parts*N, Hs, Ws, O),
+        the batch order of the list path (concat along axis 0)."""
+        _, hs, ws, _ = out.shape
+        out = out.reshape(n, hs, ws, parts, o)
+        return out.transpose(3, 0, 1, 2, 4).reshape(parts * n, hs, ws, o)
+
+
+def merged_stem_pays(offsets, width) -> bool:
+    """Merge only when the densified kernel's extra zero columns cost
+    less than the saved per-slice input streaming: span <= 1.6x width
+    holds for DSEC's unit-spaced targets (span 19, width 15) and
+    rejects MultiFlow's spread-out ones (span 65, width 25)."""
+    span = max(offsets) + width
+    return span <= 1.6 * width
 
 
 def _stem_conv_s2d(x: jax.Array, kernel: jax.Array, bias: jax.Array,
@@ -298,17 +414,27 @@ class BasicEncoder(nn.Module):
         self,
         x: Union[jax.Array, Sequence[jax.Array]],
         train: bool = False,
+        merged: Any = None,
     ) -> Union[jax.Array, List[jax.Array]]:
-        """x: (N, H, W, C) or a list thereof (batched through one pass)."""
+        """x: (N, H, W, C) or a list thereof (batched through one pass).
+
+        merged: optional (offsets, width) — x is then the (N, H, W, span)
+        union grid whose overlapping slices the stem computes jointly
+        (StemConv merged mode); the trunk runs on the slice-major batch
+        and the output is the same list the list path returns."""
         is_list = isinstance(x, (list, tuple))
         if is_list:
             n = x[0].shape[0]
             parts = len(x)
             x = jnp.concatenate(list(x), axis=0)
+        elif merged is not None:
+            is_list = True
+            n = x.shape[0]
+            parts = len(merged[0])
 
         x = StemConv(
             64, dtype=self.dtype, use_s2d=self.stem_s2d,
-            use_pallas=self.stem_pallas, name="conv1",
+            use_pallas=self.stem_pallas, merged=merged, name="conv1",
         )(x)
         x = Norm(self.norm, num_groups=8, dtype=self.dtype, name="norm1")(x, train)
         x = nn.relu(x)

@@ -16,7 +16,13 @@ import jax
 import jax.numpy as jnp
 
 from bflow_tpu.models.config import RaftSplineConfig
-from bflow_tpu.models.extractor import Conv3x3, conv_precision, kaiming_out
+from bflow_tpu.models.extractor import (
+    Conv3x3,
+    conv_precision,
+    dot_1x1,
+    dot_im2col,
+    kaiming_out,
+)
 
 
 class BezierHead(nn.Module):
@@ -24,12 +30,13 @@ class BezierHead(nn.Module):
     hidden_dim: int = 256
     dtype: Any = None
     use_pallas: bool = False
+    use_dot: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = Conv3x3(self.hidden_dim, dtype=self.dtype,
-                    use_pallas=self.use_pallas, relu=True,
-                    name="conv1")(x)
+                    use_pallas=self.use_pallas, use_dot=self.use_dot,
+                    relu=True, name="conv1")(x)
         # conv2's tiny fan-out (2*degree) always takes the XLA path
         return Conv3x3(self.bezier_degree * 2, dtype=self.dtype,
                        use_pallas=self.use_pallas, name="conv2")(x)
@@ -50,29 +57,15 @@ class Conv2dParams(nn.Module):
 
 
 def _dot_1x1(x, kernel, bias, dtype):
-    """1x1 conv as reshape+matmul. XLA's TPU conv lowering leaves ~3-6x
-    on the table for 1x1 convs at 60x80 spatial (measured 0.53 vs 0.18
-    ms for convc1 at B=4, scripts/exp_micro_fixes.py); a plain dot hits
-    the MXU directly."""
-    *lead, ci = x.shape
-    kh, kw, ki, co = kernel.shape
-    assert (kh, kw, ki) == (1, 1, ci), (kernel.shape, x.shape)
-    if dtype is not None:
-        x = x.astype(dtype)
-        kernel = kernel.astype(dtype)
-        bias = bias.astype(dtype)
-    y = jnp.matmul(x.reshape(-1, ci), kernel.reshape(ci, co),
-                   precision=conv_precision(dtype))
-    return y.reshape(*lead, co) + bias
+    return dot_1x1(x, kernel, bias, dtype)
 
 
 def _dot_im2col(x, kernel, bias, dtype, use_pallas=False):
-    """Small-kernel conv as explicit im2col + matmul. For the 7x7 conv
-    over 4 bezier channels XLA's conv is ~4x slower than the patch
-    matmul (0.95 vs 0.24 ms at B=4, scripts/exp_micro_fixes.py): the
-    tiny input channel count starves the conv lowering, while im2col
-    gives a dense K = kh*kw*ci contraction. With use_pallas the patch
-    never hits HBM (the pallas conv kernel builds it in VMEM)."""
+    """Small-kernel conv as explicit im2col + matmul (see
+    extractor.dot_im2col). For the 7x7 conv over 4 bezier channels
+    XLA's conv is ~4x slower than the patch matmul (0.95 vs 0.24 ms at
+    B=4, scripts/exp_micro_fixes.py). With use_pallas the patch never
+    hits HBM (the pallas conv kernel builds it in VMEM)."""
     if use_pallas:
         import os
 
@@ -87,28 +80,10 @@ def _dot_im2col(x, kernel, bias, dtype, use_pallas=False):
                 x.astype(dtype), jnp.asarray(kernel), jnp.asarray(bias),
                 interp,
             )
-    n, h, w, ci = x.shape
-    kh, kw, ki, co = kernel.shape
-    assert ki == ci, (kernel.shape, x.shape)
-    if dtype is not None:
-        x = x.astype(dtype)
-        kernel = kernel.astype(dtype)
-        bias = bias.astype(dtype)
-    ph, pw = kh // 2, kw // 2
-    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
-    cols = [
-        jax.lax.dynamic_slice(xp, (0, dy, dx, 0), (n, h, w, ci))
-        for dy in range(kh)
-        for dx in range(kw)
-    ]
-    patch = jnp.concatenate(cols, axis=-1)
-    y = jnp.matmul(patch.reshape(-1, kh * kw * ci),
-                   kernel.reshape(kh * kw * ci, co),
-                   precision=conv_precision(dtype))
-    return y.reshape(n, h, w, co) + bias
+    return dot_im2col(x, kernel, bias, dtype)
 
 
-def _conv(x, kernel, bias, pad, dtype, use_pallas=False):
+def _conv(x, kernel, bias, pad, dtype, use_pallas=False, use_dot=False):
     if use_pallas:
         import os
 
@@ -124,6 +99,10 @@ def _conv(x, kernel, bias, pad, dtype, use_pallas=False):
                 x.astype(dtype), jnp.asarray(kernel), jnp.asarray(bias),
                 interp,
             )
+    if use_dot:
+        # SAME padding for these odd windows by construction
+        return dot_im2col(x, jnp.asarray(kernel), jnp.asarray(bias),
+                          dtype)
     if dtype is not None:
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
@@ -152,12 +131,14 @@ class SepConvGRU(nn.Module):
     dtype: Any = None
     fused: bool = True
     use_pallas: bool = False
+    use_dot: bool = False
 
     @nn.compact
     def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
         d = self.hidden_dim
         in_ch = d + x.shape[-1]
         up = self.use_pallas
+        ud = self.use_dot
 
         def half(h, x, kernel, pad, suffix):
             shape = (*kernel, in_ch, d)
@@ -171,7 +152,7 @@ class SepConvGRU(nn.Module):
                 kq_x = kq.at[:, :, :d, :].set(0.0)
                 kf = jnp.concatenate([kz, kr, kq_x], axis=-1)
                 bf = jnp.concatenate([bz, br, bq])
-                zrq = _conv(hx, kf, bf, pad, self.dtype, up)
+                zrq = _conv(hx, kf, bf, pad, self.dtype, up, ud)
                 z = nn.sigmoid(zrq[..., :d])
                 r = nn.sigmoid(zrq[..., d : 2 * d])
                 qx = zrq[..., 2 * d :]
@@ -179,14 +160,14 @@ class SepConvGRU(nn.Module):
                 q = nn.tanh(
                     _conv(r * h.astype(r.dtype), kq_h,
                           jnp.zeros((d,), kq_h.dtype), pad, self.dtype,
-                          up)
+                          up, ud)
                     + qx
                 )
             else:
-                z = nn.sigmoid(_conv(hx, kz, bz, pad, self.dtype, up))
-                r = nn.sigmoid(_conv(hx, kr, br, pad, self.dtype, up))
+                z = nn.sigmoid(_conv(hx, kz, bz, pad, self.dtype, up, ud))
+                r = nn.sigmoid(_conv(hx, kr, br, pad, self.dtype, up, ud))
                 rhx = jnp.concatenate([r * h.astype(r.dtype), x], axis=-1)
-                q = nn.tanh(_conv(rhx, kq, bq, pad, self.dtype, up))
+                q = nn.tanh(_conv(rhx, kq, bq, pad, self.dtype, up, ud))
             return (1.0 - z) * h.astype(z.dtype) + z * q
 
         h = half(h, x, (1, 5), ((0, 0), (2, 2)), "1")  # horizontal pass
@@ -238,17 +219,19 @@ class BasicMotionEncoder(nn.Module):
                 corr.shape, cfg.corr_planes)
             cor = nn.relu(_dot_1x1(corr, kc1, bc1, dt))
         pc = cfg.pallas_conv
-        cor = Conv3x3(192, dtype=dt, use_pallas=pc, relu=True,
-                      name="convc2")(cor)
+        ud = cfg.dot_update_convs
+        cor = Conv3x3(192, dtype=dt, use_pallas=pc, use_dot=ud,
+                      relu=True, name="convc2")(cor)
         kf1, bf1 = Conv2dParams((7, 7, bezier_planes, 128),
                                 name="convf1")()
         bez = nn.relu(_dot_im2col(bezier, kf1, bf1, dt, pc))
-        bez = Conv3x3(64, dtype=dt, use_pallas=pc, relu=True,
-                      name="convf2")(bez)
+        bez = Conv3x3(64, dtype=dt, use_pallas=pc, use_dot=ud,
+                      relu=True, name="convf2")(bez)
 
         both = jnp.concatenate([cor, bez], axis=-1)
         out = Conv3x3(cfg.motion_dim - bezier_planes, dtype=dt,
-                      use_pallas=pc, relu=True, name="conv")(both)
+                      use_pallas=pc, use_dot=ud, relu=True,
+                      name="conv")(both)
         return jnp.concatenate([out, bezier.astype(out.dtype)], axis=-1)
 
 
@@ -266,12 +249,16 @@ class BasicUpdateBlock(nn.Module):
         motion = BasicMotionEncoder(cfg, name="encoder")(bezier, corr)
         gru_in = jnp.concatenate([inp.astype(motion.dtype), motion], axis=-1)
         net = SepConvGRU(cfg.hidden_dim, dtype=dt,
-                         use_pallas=cfg.pallas_conv, name="gru")(net, gru_in)
+                         use_pallas=cfg.pallas_conv,
+                         use_dot=cfg.dot_update_convs,
+                         name="gru")(net, gru_in)
         delta = BezierHead(cfg.bezier_degree, dtype=dt,
                            use_pallas=cfg.pallas_conv,
+                           use_dot=cfg.dot_update_convs,
                            name="bezier_head")(net)
 
         m = Conv3x3(256, dtype=dt, use_pallas=cfg.pallas_conv,
+                    use_dot=cfg.dot_update_convs,
                     relu=True, name="mask_0")(net)
         km, bm = Conv2dParams((1, 1, 256, 64 * 9), name="mask_2")()
         m = _dot_1x1(m, km, bm, dt)

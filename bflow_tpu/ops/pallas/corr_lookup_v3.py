@@ -124,19 +124,19 @@ def _dhat(pos, n, axis):
 def _fwd_kernel(
     *refs, w1p, win, hp, wlp, ri, ch, quant=False,
 ):
+    xp_ref, yc_ref, vol_ref, out_ref, s2_scr, d_scr = refs
     if quant:
-        # int8 volume + per-row dequant scale (see quantize_slab); the
-        # scale folds into the y-hat weights for free and the int8 band
-        # is cast to bf16 at the point of contraction (values <= 127
-        # are exact in bf16), so the blend numerics stay bf16-grade.
-        # The scale arrives as the FULL (1, h1) row vector in SMEM (a
-        # (1, ri) block would violate the TPU block-shape rule), so the
-        # kernel indexes it at the absolute row.
-        sc_ref, xp_ref, yc_ref, vol_ref, out_ref, s2_scr, d_scr = refs
-        row0 = pl.program_id(1) * ri
+        # int8 volume (see quantize_slab): the band is cast to bf16 at
+        # the point of contraction (values <= 127 are exact in bf16),
+        # so the blend numerics stay bf16-grade. The per-row dequant
+        # scale is NOT threaded through the kernel — the caller folds
+        # it into the packed output with one fused XLA multiply
+        # (_fwd_impl), which keeps the blend in the exact integer
+        # domain and avoids SMEM block-shape pitfalls entirely (a
+        # 3-D SMEM scale block compiled but read garbage on real v5e
+        # hardware, round-4 verify_kernels run).
         dt = jnp.bfloat16
     else:
-        xp_ref, yc_ref, vol_ref, out_ref, s2_scr, d_scr = refs
         dt = vol_ref.dtype
     prec = _precision(dt)
     nch = w1p // ch
@@ -149,7 +149,6 @@ def _fwd_kernel(
         ey2 = _hat(yv, hp, 1)  # (cw, hp)
         band = vol_ref[0, rl, :, c * cb : (c + 1) * cb]
         if quant:
-            ey2 = ey2 * sc_ref[0, row0 + rl]
             band = band.astype(dt)
         ey2 = ey2.astype(dt)
         return jax.lax.dot_general(
@@ -160,13 +159,22 @@ def _fwd_kernel(
 
     # software pipeline (depth 1): chunk c+1's y-blend contraction is
     # issued before chunk c's VPU-side band gather / window packing
-    # consumes rp, so the MXU stays busy under the vector work
-    rp = yblend(0, 0)
+    # consumes rp, so the MXU stays busy under the vector work.
+    # int8 mode runs UNpipelined: with the prefetch in place mosaic
+    # mis-schedules the int8->bf16 cast against the band gather and
+    # the first query of the last chunk reads garbage on real v5e
+    # hardware (round-4 isolation: bad cells exactly at (rl, chunk 0 of
+    # next row) boundaries; bf16 is clean, interpret mode is clean).
+    pipelined = not quant
+    rp = yblend(0, 0) if pipelined else None
     for rl in range(ri):
         exT = _hat(xp_ref[0, rl], wlp, 0).astype(dt)  # (wlp, w1p*WINP)
         for c in range(nch):
-            nrl, nc = (rl, c + 1) if c + 1 < nch else (rl + 1, 0)
-            rp_next = yblend(nrl, nc) if nrl < ri else None
+            if pipelined:
+                nrl, nc = (rl, c + 1) if c + 1 < nch else (rl + 1, 0)
+                rp_next = yblend(nrl, nc) if nrl < ri else None
+            else:
+                rp, rp_next = yblend(rl, c), None
             # gather each query's 16-aligned lane band
             for ql in range(ch):
                 s2_scr[ql * WINP : (ql + 1) * WINP, :] = rp[
@@ -305,13 +313,6 @@ def _fwd_impl(vol, coords, radius, interpret, ri_override=None,
         _slab_spec(ri, hp, lanes),
     ]
     operands = [xp, yc, volr]
-    if quant:
-        in_specs.insert(0, pl.BlockSpec(
-            (1, h1), lambda t, i: (t, 0), memory_space=pltpu.SMEM
-        ))
-        operands.insert(
-            0, scale.reshape(Tl * N, h1).astype(jnp.float32)
-        )
     packed = pl.pallas_call(
         functools.partial(
             _fwd_kernel, w1p=w1p, win=win, hp=hp, wlp=wlp, ri=ri, ch=ch,
@@ -334,6 +335,14 @@ def _fwd_impl(vol, coords, radius, interpret, ri_override=None,
         interpret=interpret,
     )(*operands)
 
+    if quant:
+        # per-row dequant: one XLA multiply fused into the unpack copy.
+        # Stays in bf16 — an f32 upcast of the packed output is a
+        # ~400 MB temp per level at B=16 (part of the round-4 bench_q8
+        # OOM); the bf16 scale rounding (~0.4%) matches the int8
+        # quantization step's own error.
+        sc = scale.reshape(Tl * N, h1, 1, 1, 1).astype(packed.dtype)
+        packed = packed * sc
     out = _unpack_windows(packed, w1, win, ch)
     return out.reshape(Tl, N, h1, w1, win * win)
 
@@ -568,11 +577,16 @@ def _quantize(v: jax.Array, reduce_axes):
     has no VJP (training keeps the bf16/f32 slab). Worst-case
     quantization error is scale/2 ~= 0.4% of the row's max |corr|, on
     par with the bf16 volume's own rounding."""
-    v = v.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(v), axis=reduce_axes)  # (Tl, N, h1)
+    # The scale math runs in f32 (tiny, (Tl, N, h1)), but the
+    # full-volume elementwise pass stays in the volume's own dtype:
+    # upcasting the B=16 level-0 volume to f32 is 11.7 GB and OOMed the
+    # chip (round-4 bench_q8 HLO dump). A bf16 multiply adds ~0.4%
+    # rounding, the same order as the int8 quantization step itself.
+    amax = jnp.max(jnp.abs(v), axis=reduce_axes).astype(jnp.float32)
     scale = jnp.maximum(amax, 1e-30) / 127.0
-    expand = scale.reshape(scale.shape + (1,) * len(reduce_axes))
-    q = jnp.clip(jnp.round(v / expand), -127.0, 127.0).astype(jnp.int8)
+    inv = (1.0 / scale).astype(v.dtype)
+    inv = inv.reshape(inv.shape + (1,) * len(reduce_axes))
+    q = jnp.clip(jnp.round(v * inv), -127.0, 127.0).astype(jnp.int8)
     return q, scale
 
 
