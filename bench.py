@@ -38,10 +38,6 @@ def _config_overrides(cfg):
         repl["pallas_conv"] = os.environ["BFLOW_BENCH_CONV"] == "1"
     if os.environ.get("BFLOW_BENCH_ONEHOT_LVL"):
         repl["onehot_from_level"] = int(os.environ["BFLOW_BENCH_ONEHOT_LVL"])
-    if os.environ.get("BFLOW_BENCH_MERGED"):
-        repl["merged_stem"] = os.environ["BFLOW_BENCH_MERGED"] == "1"
-    if os.environ.get("BFLOW_BENCH_DOT"):
-        repl["dot_update_convs"] = os.environ["BFLOW_BENCH_DOT"] == "1"
     if repl:
         print(f"# overrides: {repl}", file=__import__("sys").stderr)
         cfg = dataclasses.replace(cfg, **repl)

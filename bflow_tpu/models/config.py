@@ -95,20 +95,11 @@ class RaftSplineConfig:
     # patch-matmul kernel (ops/pallas/conv3x3.py). Same gating rules
     # as pallas_stem.
     pallas_conv: bool = False
-    # the update block's small-spatial (60x80) 3x3/1x5/5x1 convs as
-    # XLA im2col+dot instead of lax.conv: a dense K = taps*C MXU
-    # contraction that stays inside XLA's fusion graph. Exact same
-    # math (isolated A/Bs win 3-4x per conv, scripts/exp_dot_convs.py).
-    dot_update_convs: bool = False
-    # compute the event encoder's per-target stem convolutions as ONE
-    # joint conv over the union of voxel bins with a densified kernel
-    # (the targets are overlapping slices of the same grid,
-    # raft_spline._gen_voxel_grids): the grid is read once instead of
-    # per slice and the MXU sees a parts*64-wide output. Exact — the
-    # canonical (7,7,width,64) parameters are untouched. Auto-skipped
-    # when the targets overlap too little for the densified kernel to
-    # pay (MultiFlow's spread-out targets, see extractor.StemConv).
-    merged_stem: bool = False
+    # Removed after round-4 hardware A/Bs (all in-context losers at
+    # B=16 despite 3-4x isolated-op wins; docs/STATUS.md r4 table):
+    #   dot_update_convs (23.69 vs 27.85 fields/s) — update-block small
+    #     convs as XLA im2col+dot; merged_stem (26.41) — joint
+    #     multi-target event stem. Code at git tag-able commit b73bb03.
 
     def __post_init__(self):
         assert self.nbins_context > 0 and self.nbins_correlation > 0

@@ -161,14 +161,12 @@ class Conv3x3(nn.Module):
     """3x3 SAME conv with the nn.Conv parameter layout (kernel HWIO +
     bias), optionally through the pallas patch-matmul kernel
     (ops/pallas/conv3x3.py) when the stride is 1, the shape qualifies
-    and the backend is TPU (or the interpret escape hatch is set), or
-    as the XLA im2col+dot form (use_dot)."""
+    and the backend is TPU (or the interpret escape hatch is set)."""
 
     features: int
     stride: int = 1
     dtype: Any = None
     use_pallas: bool = False
-    use_dot: bool = False  # im2col+dot form (stride 1 only)
     relu: bool = False  # fused epilogue on the pallas path
 
     @nn.compact
@@ -179,10 +177,6 @@ class Conv3x3(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,)
         )
-        if self.use_dot and self.stride == 1:
-            out = dot_im2col(x, jnp.asarray(kernel), jnp.asarray(bias),
-                             self.dtype)
-            return nn.relu(out) if self.relu else out
         if self.use_pallas:
             import os
 
@@ -260,34 +254,25 @@ class StemConv(nn.Module):
     optimization_barrier does not recover it — scripts/exp_encoder2.py),
     so the classic rewrite loses despite its friendlier contraction.
 
-    Merged multi-target mode (`merged=(offsets, width)`): the event
-    encoder's inputs are overlapping `width`-bin slices of one voxel
-    grid at the given channel offsets (raft_spline._gen_voxel_grids).
-    The stem is linear, so the per-slice convs are ONE conv over the
-    union span with a densified kernel whose k-th 64-wide output block
-    holds the canonical weights at channel offset `offsets[k]` — the
-    grid streams from HBM once (vs once per slice) and the MXU sees a
-    parts*64-wide contraction. Exact, parameters untouched. Output is
-    reshaped to the slice-major batch the list path produces.
+    (A round-4 "merged multi-target" mode — one joint conv over the
+    union of the event encoder's overlapping voxel slices with a
+    densified kernel — was exact but measured 26.41 vs 27.85 fields/s
+    end-to-end at B=16 and was removed; see docs/STATUS.md r4 table.)
     """
 
     features: int = 64
     dtype: Any = None
     use_s2d: bool = False
     use_pallas: bool = False
-    merged: Any = None  # (offsets tuple, slice width) or None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = self.merged[1] if self.merged else x.shape[-1]
         kernel = self.param(
-            "kernel", kaiming_out, (7, 7, in_ch, self.features)
+            "kernel", kaiming_out, (7, 7, x.shape[-1], self.features)
         )
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,)
         )
-        if self.merged:
-            return self._merged_forward(x, kernel, bias)
         if self.use_pallas:
             import os
 
@@ -312,60 +297,6 @@ class StemConv(nn.Module):
             precision=conv_precision(self.dtype),
         )
         return out + bd
-
-    def _merged_forward(self, x, kernel, bias):
-        offsets, width = self.merged
-        parts = len(offsets)
-        n = x.shape[0]
-        span = max(offsets) + width
-        assert x.shape[-1] == span, (x.shape, offsets, width)
-        o = self.features
-        kernel = jnp.asarray(kernel)  # imported params may be NumPy
-        dense = jnp.zeros((7, 7, span, parts * o), kernel.dtype)
-        for k, off in enumerate(offsets):
-            dense = dense.at[:, :, off : off + width,
-                             k * o : (k + 1) * o].set(kernel)
-        bias_d = jnp.tile(jnp.asarray(bias), parts)
-        if self.use_pallas:
-            import os
-
-            from bflow_tpu.ops.pallas import stem_conv
-
-            interp = os.environ.get("BFLOW_PALLAS_INTERPRET", "") == "1"
-            if stem_conv.supported(x.shape, self.dtype) and (
-                interp or jax.default_backend() == "tpu"
-            ):
-                out = stem_conv.stem_conv_pallas(
-                    x.astype(self.dtype), dense, bias_d, interp
-                )
-                return self._merged_split(out, n, parts, o)
-        xd = x if self.dtype is None else x.astype(self.dtype)
-        kd = dense if self.dtype is None else dense.astype(self.dtype)
-        bd = bias_d if self.dtype is None else bias_d.astype(self.dtype)
-        out = jax.lax.conv_general_dilated(
-            xd, kd, (2, 2), ((3, 3), (3, 3)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=conv_precision(self.dtype),
-        ) + bd
-        return self._merged_split(out, n, parts, o)
-
-    @staticmethod
-    def _merged_split(out, n, parts, o):
-        """(N, Hs, Ws, parts*O) -> slice-major (parts*N, Hs, Ws, O),
-        the batch order of the list path (concat along axis 0)."""
-        _, hs, ws, _ = out.shape
-        out = out.reshape(n, hs, ws, parts, o)
-        return out.transpose(3, 0, 1, 2, 4).reshape(parts * n, hs, ws, o)
-
-
-def merged_stem_pays(offsets, width) -> bool:
-    """Merge only when the densified kernel's extra zero columns cost
-    less than the saved per-slice input streaming: span <= 1.6x width
-    holds for DSEC's unit-spaced targets (span 19, width 15) and
-    rejects MultiFlow's spread-out ones (span 65, width 25)."""
-    span = max(offsets) + width
-    return span <= 1.6 * width
-
 
 def _stem_conv_s2d(x: jax.Array, kernel: jax.Array, bias: jax.Array,
                    dtype) -> jax.Array:
@@ -414,27 +345,17 @@ class BasicEncoder(nn.Module):
         self,
         x: Union[jax.Array, Sequence[jax.Array]],
         train: bool = False,
-        merged: Any = None,
     ) -> Union[jax.Array, List[jax.Array]]:
-        """x: (N, H, W, C) or a list thereof (batched through one pass).
-
-        merged: optional (offsets, width) — x is then the (N, H, W, span)
-        union grid whose overlapping slices the stem computes jointly
-        (StemConv merged mode); the trunk runs on the slice-major batch
-        and the output is the same list the list path returns."""
+        """x: (N, H, W, C) or a list thereof (batched through one pass)."""
         is_list = isinstance(x, (list, tuple))
         if is_list:
             n = x[0].shape[0]
             parts = len(x)
             x = jnp.concatenate(list(x), axis=0)
-        elif merged is not None:
-            is_list = True
-            n = x.shape[0]
-            parts = len(merged[0])
 
         x = StemConv(
             64, dtype=self.dtype, use_s2d=self.stem_s2d,
-            use_pallas=self.stem_pallas, merged=merged, name="conv1",
+            use_pallas=self.stem_pallas, name="conv1",
         )(x)
         x = Norm(self.norm, num_groups=8, dtype=self.dtype, name="norm1")(x, train)
         x = nn.relu(x)

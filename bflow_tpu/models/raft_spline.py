@@ -29,7 +29,7 @@ from bflow_tpu.models.corr import (
     corr_lookup,
     resolve_lookup_method,
 )
-from bflow_tpu.models.extractor import BasicEncoder, merged_stem_pays
+from bflow_tpu.models.extractor import BasicEncoder
 from bflow_tpu.models.update import BasicUpdateBlock
 from bflow_tpu.ops.bezier import BezierCurves
 from bflow_tpu.ops.sampler import coords_grid
@@ -116,17 +116,7 @@ class RAFTSpline(nn.Module):
                 corr_grids, context_input = self._gen_voxel_grids(
                     voxel_grid
                 )
-                offsets = (0, *cfg.ev_target_indices)
-                if cfg.merged_stem and merged_stem_pays(
-                    offsets, cfg.nbins_correlation
-                ):
-                    span = max(offsets) + cfg.nbins_correlation
-                    fmaps = self.fnet_ev(
-                        voxel_grid[..., :span], train=train,
-                        merged=(offsets, cfg.nbins_correlation),
-                    )
-                else:
-                    fmaps = self.fnet_ev(corr_grids, train=train)
+                fmaps = self.fnet_ev(corr_grids, train=train)
             if cfg.corr_precision == "float32":
                 fmaps = [f.astype(jnp.float32) for f in fmaps]
             ref = fmaps[0]

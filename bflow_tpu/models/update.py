@@ -30,12 +30,11 @@ class BezierHead(nn.Module):
     hidden_dim: int = 256
     dtype: Any = None
     use_pallas: bool = False
-    use_dot: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = Conv3x3(self.hidden_dim, dtype=self.dtype,
-                    use_pallas=self.use_pallas, use_dot=self.use_dot,
+                    use_pallas=self.use_pallas,
                     relu=True, name="conv1")(x)
         # conv2's tiny fan-out (2*degree) always takes the XLA path
         return Conv3x3(self.bezier_degree * 2, dtype=self.dtype,
@@ -83,7 +82,7 @@ def _dot_im2col(x, kernel, bias, dtype, use_pallas=False):
     return dot_im2col(x, kernel, bias, dtype)
 
 
-def _conv(x, kernel, bias, pad, dtype, use_pallas=False, use_dot=False):
+def _conv(x, kernel, bias, pad, dtype, use_pallas=False):
     if use_pallas:
         import os
 
@@ -99,10 +98,6 @@ def _conv(x, kernel, bias, pad, dtype, use_pallas=False, use_dot=False):
                 x.astype(dtype), jnp.asarray(kernel), jnp.asarray(bias),
                 interp,
             )
-    if use_dot:
-        # SAME padding for these odd windows by construction
-        return dot_im2col(x, jnp.asarray(kernel), jnp.asarray(bias),
-                          dtype)
     if dtype is not None:
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
@@ -131,14 +126,12 @@ class SepConvGRU(nn.Module):
     dtype: Any = None
     fused: bool = True
     use_pallas: bool = False
-    use_dot: bool = False
 
     @nn.compact
     def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
         d = self.hidden_dim
         in_ch = d + x.shape[-1]
         up = self.use_pallas
-        ud = self.use_dot
 
         def half(h, x, kernel, pad, suffix):
             shape = (*kernel, in_ch, d)
@@ -152,7 +145,7 @@ class SepConvGRU(nn.Module):
                 kq_x = kq.at[:, :, :d, :].set(0.0)
                 kf = jnp.concatenate([kz, kr, kq_x], axis=-1)
                 bf = jnp.concatenate([bz, br, bq])
-                zrq = _conv(hx, kf, bf, pad, self.dtype, up, ud)
+                zrq = _conv(hx, kf, bf, pad, self.dtype, up)
                 z = nn.sigmoid(zrq[..., :d])
                 r = nn.sigmoid(zrq[..., d : 2 * d])
                 qx = zrq[..., 2 * d :]
@@ -160,14 +153,14 @@ class SepConvGRU(nn.Module):
                 q = nn.tanh(
                     _conv(r * h.astype(r.dtype), kq_h,
                           jnp.zeros((d,), kq_h.dtype), pad, self.dtype,
-                          up, ud)
+                          up)
                     + qx
                 )
             else:
-                z = nn.sigmoid(_conv(hx, kz, bz, pad, self.dtype, up, ud))
-                r = nn.sigmoid(_conv(hx, kr, br, pad, self.dtype, up, ud))
+                z = nn.sigmoid(_conv(hx, kz, bz, pad, self.dtype, up))
+                r = nn.sigmoid(_conv(hx, kr, br, pad, self.dtype, up))
                 rhx = jnp.concatenate([r * h.astype(r.dtype), x], axis=-1)
-                q = nn.tanh(_conv(rhx, kq, bq, pad, self.dtype, up, ud))
+                q = nn.tanh(_conv(rhx, kq, bq, pad, self.dtype, up))
             return (1.0 - z) * h.astype(z.dtype) + z * q
 
         h = half(h, x, (1, 5), ((0, 0), (2, 2)), "1")  # horizontal pass
@@ -219,18 +212,17 @@ class BasicMotionEncoder(nn.Module):
                 corr.shape, cfg.corr_planes)
             cor = nn.relu(_dot_1x1(corr, kc1, bc1, dt))
         pc = cfg.pallas_conv
-        ud = cfg.dot_update_convs
-        cor = Conv3x3(192, dtype=dt, use_pallas=pc, use_dot=ud,
+        cor = Conv3x3(192, dtype=dt, use_pallas=pc,
                       relu=True, name="convc2")(cor)
         kf1, bf1 = Conv2dParams((7, 7, bezier_planes, 128),
                                 name="convf1")()
         bez = nn.relu(_dot_im2col(bezier, kf1, bf1, dt, pc))
-        bez = Conv3x3(64, dtype=dt, use_pallas=pc, use_dot=ud,
+        bez = Conv3x3(64, dtype=dt, use_pallas=pc,
                       relu=True, name="convf2")(bez)
 
         both = jnp.concatenate([cor, bez], axis=-1)
         out = Conv3x3(cfg.motion_dim - bezier_planes, dtype=dt,
-                      use_pallas=pc, use_dot=ud, relu=True,
+                      use_pallas=pc, relu=True,
                       name="conv")(both)
         return jnp.concatenate([out, bezier.astype(out.dtype)], axis=-1)
 
@@ -250,15 +242,12 @@ class BasicUpdateBlock(nn.Module):
         gru_in = jnp.concatenate([inp.astype(motion.dtype), motion], axis=-1)
         net = SepConvGRU(cfg.hidden_dim, dtype=dt,
                          use_pallas=cfg.pallas_conv,
-                         use_dot=cfg.dot_update_convs,
                          name="gru")(net, gru_in)
         delta = BezierHead(cfg.bezier_degree, dtype=dt,
                            use_pallas=cfg.pallas_conv,
-                           use_dot=cfg.dot_update_convs,
                            name="bezier_head")(net)
 
         m = Conv3x3(256, dtype=dt, use_pallas=cfg.pallas_conv,
-                    use_dot=cfg.dot_update_convs,
                     relu=True, name="mask_0")(net)
         km, bm = Conv2dParams((1, 1, 256, 64 * 9), name="mask_2")()
         m = _dot_1x1(m, km, bm, dt)

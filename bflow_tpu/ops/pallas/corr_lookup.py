@@ -8,6 +8,14 @@ and stays as the measured fallback / A-B reference. The multi-level
 "packed" variant that used to live here lost every hardware A/B
 (12.5 vs 11.3 ms/iter at B=4) and was removed in round 3 per review.
 
+Round-4 demotion decision (VERDICT r3 #6: "delete or demote with a
+rationale"): KEPT, because the round-5 lookup-kernel redesign (the
+slab kernel is issue-bound ~20x off its bandwidth roofline; the q8 A/B
+proved byte-side fixes can't pay) starts from comparing these two
+formulations' per-chunk issue structure, and this kernel is the only
+on-chip-verified second implementation (1.3e-7 vs the gather oracle).
+Delete it when the redesigned kernel lands.
+
 Every query pixel owns its own (hl, wl) correlation map inside the
 all-pairs volume; the lookup reads one (2r+1)x(2r+1) bilinear window
 around its (x, y) coordinate, with grid_sample zero padding outside the

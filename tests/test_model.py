@@ -311,37 +311,6 @@ def test_scan_iters_matches_unrolled(rng):
         assert err < 1e-3 * gscale, (err, gscale)
 
 
-def test_merged_stem_matches_list_path(rng):
-    """merged_stem computes the event stems jointly (extractor.StemConv
-    merged mode) — exact vs the per-slice list path in f32."""
-    import dataclasses
-
-    cfg = DSEC_SMALL  # offsets (0,1,2,3,4), width 5, span 9 <= 1.6*5
-    cfg_m = dataclasses.replace(cfg, merged_stem=True)
-    voxel, images = make_inputs(cfg, rng=rng)
-    model = RAFTSpline(cfg)
-    variables = model.init(
-        jax.random.PRNGKey(0), voxel, images, test_mode=True
-    )
-    model_m = RAFTSpline(cfg_m)
-    _, up = jax.jit(
-        lambda v: model.apply(v, voxel, images, test_mode=True)
-    )(variables)
-    _, up_m = jax.jit(
-        lambda v: model_m.apply(v, voxel, images, test_mode=True)
-    )(variables)
-    np.testing.assert_allclose(
-        np.asarray(up_m.params), np.asarray(up.params), rtol=0, atol=2e-5
-    )
-
-
-def test_merged_stem_pays_gate():
-    from bflow_tpu.models.extractor import merged_stem_pays
-
-    assert merged_stem_pays((0, 1, 2, 3, 4), 15)  # DSEC: span 19
-    assert not merged_stem_pays((0, 8, 16, 24, 32, 40), 25)  # MultiFlow
-
-
 def test_dot_im2col_matches_lax_conv(rng):
     """Op-level: the im2col+dot rewrite computes the same SAME conv as
     lax.conv up to f32 reassociation, for every window the update block
@@ -366,34 +335,3 @@ def test_dot_im2col_matches_lax_conv(rng):
             np.asarray(got), np.asarray(ref), rtol=0, atol=1e-4,
             err_msg=f"window {(kh, kw, ci, co)}",
         )
-
-
-def test_dot_update_convs_matches_xla(rng):
-    """dot_update_convs rewrites the update block's small convs as
-    im2col+dot. Per-op the rewrite is exact up to f32 reassociation
-    (test_dot_im2col_matches_lax_conv); through the refinement loop the
-    correlation lookup samples at flow-dependent coordinates, so ulp-
-    level coordinate shifts amplify — bound the end-to-end drift
-    relative to the output scale (same policy as
-    test_scan_iters_matches_unrolled)."""
-    import dataclasses
-
-    cfg = DSEC_SMALL
-    cfg_d = dataclasses.replace(cfg, dot_update_convs=True)
-    voxel, images = make_inputs(cfg, rng=rng)
-    model = RAFTSpline(cfg)
-    variables = model.init(
-        jax.random.PRNGKey(0), voxel, images, test_mode=True
-    )
-    model_d = RAFTSpline(cfg_d)
-    _, up = jax.jit(
-        lambda v: model.apply(v, voxel, images, test_mode=True)
-    )(variables)
-    _, up_d = jax.jit(
-        lambda v: model_d.apply(v, voxel, images, test_mode=True)
-    )(variables)
-    gscale = float(np.abs(np.asarray(up.params)).max())
-    err = float(
-        np.abs(np.asarray(up_d.params) - np.asarray(up.params)).max()
-    )
-    assert err < 1e-3 * gscale, (err, gscale)

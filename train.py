@@ -51,8 +51,6 @@ def model_config_from(config):
         "onehot_from_level": int(model_cfg.get("onehot_from_level", -1)),
         "pallas_stem": bool(model_cfg.get("pallas_stem", False)),
         "pallas_conv": bool(model_cfg.get("pallas_conv", False)),
-        "merged_stem": bool(model_cfg.get("merged_stem", False)),
-        "dot_update_convs": bool(model_cfg.get("dot_update_convs", False)),
     })
 
 
