@@ -36,6 +36,13 @@ from bflow_tpu.ops.sampler import bilinear_sample
 # magnitude slower than the compiled kernel.
 _INTERPRET = os.environ.get("BFLOW_PALLAS_INTERPRET", "") == "1"
 
+# BFLOW_LOOKUP_V5=1 routes qualifying levels to the v5 rebased-band
+# kernel — measured SLOWER than v4 on v5e (40.8 vs 11.5 ms/iter at
+# B=16 level 0, scripts/exp_v5_tail.py: the longer serial MXU chain of
+# its selector-matmul tail and the dynamic-sublane band slice both
+# lose to v4's copies). Kept as a documented negative result + oracle.
+_USE_V5 = os.environ.get("BFLOW_LOOKUP_V5", "0") == "1"
+
 # One pyramid level: (base-target indices at this level, volume).
 CorrLevel = Tuple[Tuple[int, ...], jax.Array]
 
@@ -352,6 +359,7 @@ def corr_lookup(
 
     out_channels: List[jax.Array] = []
     if method in ("pallas", "pallas_q8"):
+        from bflow_tpu.ops.pallas import corr_lookup_v5 as v5
         from bflow_tpu.ops.pallas.corr_lookup_v3 import (
             lookup_level_slab,
             lookup_level_slab_q8,
@@ -372,17 +380,32 @@ def corr_lookup(
                 continue
             if isinstance(vol, tuple):  # (int8 slab, per-row scale)
                 slab_q, scale = vol
-                out_channels.append(
-                    lookup_level_slab_q8(slab_q, scale, c, radius,
-                                         _INTERPRET)
-                )
+                if _USE_V5 and v5.supports(slab_q.shape[3], radius):
+                    out_channels.append(
+                        v5.lookup_level_slab_q8_v5(
+                            slab_q, scale, c, radius, _INTERPRET
+                        )
+                    )
+                else:
+                    out_channels.append(
+                        lookup_level_slab_q8(slab_q, scale, c, radius,
+                                             _INTERPRET)
+                    )
                 continue
             assert vol.ndim == 5, (
                 "method='pallas' needs slab volumes "
                 "(build_pyramid_for_method)", vol.shape)
-            out_channels.append(
-                lookup_level_slab(vol, c, radius, _INTERPRET)
-            )
+            # v5 (rebased K-row bands, manual DMA) on the tall levels,
+            # v4 (full-band auto-pipeline) where the band already fits
+            # one block — see corr_lookup_v5.supports
+            if _USE_V5 and v5.supports(vol.shape[3], radius):
+                out_channels.append(
+                    v5.lookup_level_slab_v5(vol, c, radius, _INTERPRET)
+                )
+            else:
+                out_channels.append(
+                    lookup_level_slab(vol, c, radius, _INTERPRET)
+                )
     elif method == "pallas_v2":
         from bflow_tpu.ops.pallas.corr_lookup import lookup_level_pallas
 

@@ -50,6 +50,7 @@ their own zero bands).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -122,9 +123,11 @@ def _dhat(pos, n, axis):
 
 
 def _fwd_kernel(
-    *refs, w1p, win, hp, wlp, ri, ch, quant=False,
+    *refs, w1p, win, hp, wlp, ri, ch, quant=False, parity=False,
+    q8_pipe=False,
 ):
-    xp_ref, yc_ref, vol_ref, out_ref, s2_scr, d_scr = refs
+    (xp_ref, yc_ref, vol_ref, out_ref,
+     s2_scr, s2_scr2, d_scr, d_scr2) = refs
     if quant:
         # int8 volume (see quantize_slab): the band is cast to bf16 at
         # the point of contraction (values <= 127 are exact in bf16),
@@ -160,16 +163,27 @@ def _fwd_kernel(
     # software pipeline (depth 1): chunk c+1's y-blend contraction is
     # issued before chunk c's VPU-side band gather / window packing
     # consumes rp, so the MXU stays busy under the vector work.
-    # int8 mode runs UNpipelined: with the prefetch in place mosaic
-    # mis-schedules the int8->bf16 cast against the band gather and
-    # the first query of the last chunk reads garbage on real v5e
-    # hardware (round-4 isolation: bad cells exactly at (rl, chunk 0 of
-    # next row) boundaries; bf16 is clean, interpret mode is clean).
-    pipelined = not quant
+    # The round-4 "int8 pipelining hazard" (corrupt cells at row/chunk
+    # boundaries on real v5e) was in fact a data race through the
+    # SHARED s2/d scratch: with parity-alternating buffers the race is
+    # structurally gone — on-chip q8+pipe+parity is bit-exact vs the
+    # unpipelined path AND 1.7x faster (4.26 -> 2.53 ms/iter at the
+    # TN=20 flagship level 0, scripts/exp_v4_knobs.py). int8 therefore
+    # pipelines exactly when parity scratch is on (the default).
+    pipelined = (not quant) or parity or q8_pipe
     rp = yblend(0, 0) if pipelined else None
     for rl in range(ri):
         exT = _hat(xp_ref[0, rl], wlp, 0).astype(dt)  # (wlp, w1p*WINP)
         for c in range(nch):
+            # parity mode: alternate scratch buffers so mosaic may
+            # overlap adjacent chunks' MXU and VPU phases instead of
+            # serializing on the shared s2/d buffers (A/B knob).
+            # Two separate buffers, picked at trace time — a leading
+            # dynamic index into a 3-D VMEM scratch fails mosaic's
+            # memref_slice lowering.
+            par = (rl * nch + c) % 2 if parity else 0
+            s2v = s2_scr2 if par else s2_scr
+            dv = d_scr2 if par else d_scr
             if pipelined:
                 nrl, nc = (rl, c + 1) if c + 1 < nch else (rl + 1, 0)
                 rp_next = yblend(nrl, nc) if nrl < ri else None
@@ -177,12 +191,12 @@ def _fwd_kernel(
                 rp, rp_next = yblend(rl, c), None
             # gather each query's 16-aligned lane band
             for ql in range(ch):
-                s2_scr[ql * WINP : (ql + 1) * WINP, :] = rp[
+                s2v[ql * WINP : (ql + 1) * WINP, :] = rp[
                     ql * WINP : (ql + 1) * WINP,
                     ql * wlp : (ql + 1) * wlp,
                 ]
             out = jax.lax.dot_general(
-                s2_scr[:], exT[:, c * cw : (c + 1) * cw],
+                s2v[:], exT[:, c * cw : (c + 1) * cw],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
@@ -191,9 +205,9 @@ def _fwd_kernel(
             # per-query (9, 9) sub-tile writes dominated the kernel)
             for ql in range(ch):
                 s = ql * WINP
-                d_scr[:, s : s + WINP] = out[s : s + WINP, s : s + WINP
-                                             ].astype(dt)
-            out_ref[0, rl, c] = d_scr[:]
+                dv[:, s : s + WINP] = out[s : s + WINP, s : s + WINP
+                                          ].astype(dt)
+            out_ref[0, rl, c] = dv[:]
             rp = rp_next
 
 
@@ -306,6 +320,15 @@ def _fwd_impl(vol, coords, radius, interpret, ri_override=None,
     )
     ri = _pick_ri(h1, hp * lanes * vol.dtype.itemsize, ri_override)
 
+    # Parity-alternating scratch is the measured default (bf16 -7%,
+    # and it makes the pipelined int8 path race-free — see the
+    # pipeline note in _fwd_kernel). BFLOW_V4_PARITY=0 restores the
+    # shared-scratch schedule; BFLOW_Q8_PIPE=1 then force-pipelines
+    # int8 WITHOUT parity, which reproduces the round-4 corruption
+    # (kept strictly as the regression repro for exp_v4_knobs.py).
+    parity = os.environ.get("BFLOW_V4_PARITY", "1") == "1"
+    q8_pipe = os.environ.get("BFLOW_Q8_PIPE", "") == "1"
+
     nch = w1p // ch
     in_specs = [
         _row_spec(ri, w1p * WINP),
@@ -313,10 +336,11 @@ def _fwd_impl(vol, coords, radius, interpret, ri_override=None,
         _slab_spec(ri, hp, lanes),
     ]
     operands = [xp, yc, volr]
+
     packed = pl.pallas_call(
         functools.partial(
             _fwd_kernel, w1p=w1p, win=win, hp=hp, wlp=wlp, ri=ri, ch=ch,
-            quant=quant,
+            quant=quant, parity=parity, q8_pipe=q8_pipe,
         ),
         grid=(Tl * N, h1 // ri),
         in_specs=in_specs,
@@ -330,6 +354,8 @@ def _fwd_impl(vol, coords, radius, interpret, ri_override=None,
         ),
         scratch_shapes=[
             pltpu.VMEM((ch * WINP, wlp), out_dt),
+            pltpu.VMEM((ch * WINP, wlp), out_dt),
+            pltpu.VMEM((WINP, ch * WINP), out_dt),
             pltpu.VMEM((WINP, ch * WINP), out_dt),
         ],
         interpret=interpret,

@@ -11,15 +11,19 @@ in int8 — if alignment wins, q8+wlp128 beats both.
 Measures the standalone level-0 lookup (fwd) at the DSEC flagship
 shape for {bf16, q8} x {wlp 80, 128}.
 
-Usage: python scripts/exp_align_ab.py [TN=20] [iters=30]
+Usage: python scripts/exp_align_ab.py [TN=20]
+
+(Round-4 erratum: this script originally timed with block_until_ready
+loops, which the axon relay turns into dispatch-only timing — its
+round-3/4 numbers are void. Now uses scripts/_timing.py slope timing.)
 """
 
 from __future__ import annotations
 
 import sys
-import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
 
 import numpy as np
 
@@ -36,7 +40,6 @@ def main() -> None:
     )
 
     TN = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    K = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     h1, w1, hl, wl, r = 60, 80, 60, 80, 4  # flagship level 0 (hp=64)
     rng = np.random.default_rng(0)
     vol = jnp.asarray(
@@ -50,17 +53,13 @@ def main() -> None:
         jnp.float32,
     )
 
+    from _timing import slope_time_ms
+
     def bench(fn, *args):
-        f = jax.jit(fn)
-        jax.block_until_ready(f(*args))  # compile + warmup
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(K - 1):
-                f(*args)
-            jax.block_until_ready(f(*args))
-            best = min(best, (time.perf_counter() - t0) / K)
-        return best
+        # coords must be the perturbed (first) arg for slope timing
+        return slope_time_ms(
+            lambda c, *rest: fn(*rest, c), (args[-1],) + args[:-1]
+        ) / 1e3
 
     for wlp in (80, 128):
         slab = to_slab(vol, wlp=wlp)

@@ -29,6 +29,10 @@ def main() -> None:
         lookup_level_slab,
         to_slab,
     )
+    from bflow_tpu.ops.pallas.corr_lookup_v5 import (
+        lookup_level_slab_q8_v5,
+        lookup_level_slab_v5,
+    )
     from bflow_tpu.ops.sampler import coords_grid
 
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 2
@@ -73,6 +77,11 @@ def main() -> None:
                 lookup_level_slab(to_slab(v), c, cfg.radius) * gvec
             ).sum()
 
+        def f_v5(v, c):
+            return (
+                lookup_level_slab_v5(to_slab(v), c, cfg.radius) * gvec
+            ).sum()
+
         def f_ref(v, c):
             return (_lookup_level_gather(v, c, cfg.radius) * gvec).sum()
 
@@ -82,11 +91,15 @@ def main() -> None:
         out_4 = jax.jit(
             lambda v, c: lookup_level_slab(to_slab(v), c, cfg.radius)
         )(vol, coords)
+        out_5 = jax.jit(
+            lambda v, c: lookup_level_slab_v5(to_slab(v), c, cfg.radius)
+        )(vol, coords)
         out_g = jax.jit(
             lambda v, c: _lookup_level_gather(v, c, cfg.radius)
         )(vol, coords)
         dv_p, dc_p = jax.jit(jax.grad(f_pal, argnums=(0, 1)))(vol, coords)
         dv_4, dc_4 = jax.jit(jax.grad(f_v4, argnums=(0, 1)))(vol, coords)
+        dv_5, dc_5 = jax.jit(jax.grad(f_v5, argnums=(0, 1)))(vol, coords)
         dv_g, dc_g = jax.jit(jax.grad(f_ref, argnums=(0, 1)))(vol, coords)
 
         def err(a, b):
@@ -97,6 +110,7 @@ def main() -> None:
         for tag, (e_fwd, e_dv, e_dc) in (
             ("v2", (err(out_p, out_g), err(dv_p, dv_g), err(dc_p, dc_g))),
             ("v4", (err(out_4, out_g), err(dv_4, dv_g), err(dc_4, dc_g))),
+            ("v5", (err(out_5, out_g), err(dv_5, dv_g), err(dc_5, dc_g))),
         ):
             print(
                 f"level {lvl} {tag} vol{tuple(vol.shape)}: "
@@ -121,11 +135,18 @@ def main() -> None:
     out_q = jax.jit(
         lambda q, s, c: lookup_level_slab_q8(to_slab(q), s, c, cfg.radius)
     )(q, scale, coords)
+    out_q5 = jax.jit(
+        lambda q, s, c: lookup_level_slab_q8_v5(to_slab(q), s, c,
+                                                cfg.radius)
+    )(q, scale, coords)
     out_g = jax.jit(
         lambda v, c: _lookup_level_gather(v, c, cfg.radius)
     )(vol0, coords)
     e = err(out_q, out_g)
     print(f"q8 lookup level 0: fwd abs={e[0]:.2e} rel={e[1]:.2e}")
+    ok &= e[1] < 2e-2
+    e = err(out_q5, out_g)
+    print(f"q8 v5 lookup level 0: fwd abs={e[0]:.2e} rel={e[1]:.2e}")
     ok &= e[1] < 2e-2
 
     # --- stem + generalized conv kernels (bf16, vs XLA bf16 conv) ---
