@@ -99,9 +99,12 @@ def main() -> None:
     batches = (16, 8, 1)
     if os.environ.get("BFLOW_BENCH_BATCH"):
         # A/B hook: try a specific batch first (e.g. q8 frees ~3 GB of
-        # volume HBM, so batches > 16 become feasible), keeping the
-        # standard ladder as OOM fallback.
-        batches = (int(os.environ["BFLOW_BENCH_BATCH"]),) + batches
+        # volume HBM, so batches > 16 become feasible). Fallbacks are
+        # only batches STRICTLY smaller than the requested one — an OOM
+        # at batch b guarantees every batch >= b also OOMs, and each
+        # doomed attempt costs a multi-minute 480x640 compile.
+        b = int(os.environ["BFLOW_BENCH_BATCH"])
+        batches = (b,) + tuple(x for x in batches if x < b)
     for batch in batches:
         if best > 0.0:
             break  # a larger batch already succeeded

@@ -36,13 +36,6 @@ from bflow_tpu.ops.sampler import bilinear_sample
 # magnitude slower than the compiled kernel.
 _INTERPRET = os.environ.get("BFLOW_PALLAS_INTERPRET", "") == "1"
 
-# BFLOW_LOOKUP_V5=1 routes qualifying levels to the v5 rebased-band
-# kernel — measured SLOWER than v4 on v5e (40.8 vs 11.5 ms/iter at
-# B=16 level 0, scripts/exp_v5_tail.py: the longer serial MXU chain of
-# its selector-matmul tail and the dynamic-sublane band slice both
-# lose to v4's copies). Kept as a documented negative result + oracle.
-_USE_V5 = os.environ.get("BFLOW_LOOKUP_V5", "0") == "1"
-
 # One pyramid level: (base-target indices at this level, volume).
 CorrLevel = Tuple[Tuple[int, ...], jax.Array]
 
@@ -124,7 +117,7 @@ def _pad_rows16(fmap: jax.Array) -> jax.Array:
     multiple of 16. Correlations against zero features are zero, so the
     resulting volume rows ARE grid_sample's zero padding — the pallas
     lookup kernel requires this tile-aligned layout and reads the pad
-    rows instead of clamping (ops/pallas/corr_lookup.py)."""
+    rows instead of clamping (ops/pallas/corr_lookup_v3.py)."""
     h = fmap.shape[2]
     hp = ((h + 15) // 16) * 16
     if hp == h:
@@ -323,10 +316,14 @@ def corr_lookup(
         (strip-mined slab kernel, TPU only — pyramid must be in slab
         layout, see build_pyramid_for_method) | 'pallas_q8' (int8
         slab, inference only: halves the per-iteration volume stream;
-        deep hp=16 levels stay in the volume dtype) | 'pallas_v2'
-        (legacy block-diagonal kernel on per-query maps) | 'onehot'
+        deep hp=16 levels stay in the volume dtype) | 'onehot'
         (MXU matmuls; compiles slowly at scale) | 'gather' (XLA
         gather — exact oracle, fast on CPU, slow on TPU).
+        Two slower pallas formulations were removed after losing
+        hardware A/Bs: the round-2 block-diagonal kernel ('pallas_v2',
+        removed round 5) and the round-4 rebased-band v5 (40.8 vs
+        11.5 ms/iter at B=16 level 0) — history in docs/STATUS.md and
+        commits b73bb03/58a9d17.
       precision: 'float32' | 'bfloat16' for the onehot matmuls.
 
       onehot_from_level: when >= 0 and the method is pallas/pallas_q8,
@@ -359,7 +356,6 @@ def corr_lookup(
 
     out_channels: List[jax.Array] = []
     if method in ("pallas", "pallas_q8"):
-        from bflow_tpu.ops.pallas import corr_lookup_v5 as v5
         from bflow_tpu.ops.pallas.corr_lookup_v3 import (
             lookup_level_slab,
             lookup_level_slab_q8,
@@ -380,41 +376,17 @@ def corr_lookup(
                 continue
             if isinstance(vol, tuple):  # (int8 slab, per-row scale)
                 slab_q, scale = vol
-                if _USE_V5 and v5.supports(slab_q.shape[3], radius):
-                    out_channels.append(
-                        v5.lookup_level_slab_q8_v5(
-                            slab_q, scale, c, radius, _INTERPRET
-                        )
-                    )
-                else:
-                    out_channels.append(
-                        lookup_level_slab_q8(slab_q, scale, c, radius,
-                                             _INTERPRET)
-                    )
+                out_channels.append(
+                    lookup_level_slab_q8(slab_q, scale, c, radius,
+                                         _INTERPRET)
+                )
                 continue
             assert vol.ndim == 5, (
                 "method='pallas' needs slab volumes "
                 "(build_pyramid_for_method)", vol.shape)
-            # v5 (rebased K-row bands, manual DMA) on the tall levels,
-            # v4 (full-band auto-pipeline) where the band already fits
-            # one block — see corr_lookup_v5.supports
-            if _USE_V5 and v5.supports(vol.shape[3], radius):
-                out_channels.append(
-                    v5.lookup_level_slab_v5(vol, c, radius, _INTERPRET)
-                )
-            else:
-                out_channels.append(
-                    lookup_level_slab(vol, c, radius, _INTERPRET)
-                )
-    elif method == "pallas_v2":
-        from bflow_tpu.ops.pallas.corr_lookup import lookup_level_pallas
-
-        # Legacy r2 kernel on the plain (.., hl-pad, wl) layout. The
-        # multi-level packed composite it once offered measured slower
-        # in every hardware A/B and was removed (round 3).
-        for lvl, (target_idx, vol) in enumerate(pyramid):
-            c = coords[jnp.asarray(target_idx)] / (2.0**lvl)
-            out_channels.append(lookup_level_pallas(vol, c, radius))
+            out_channels.append(
+                lookup_level_slab(vol, c, radius, _INTERPRET)
+            )
     else:
         for lvl, (target_idx, vol) in enumerate(pyramid):
             c = coords[jnp.asarray(target_idx)] / (2.0**lvl)

@@ -298,6 +298,7 @@ class StemConv(nn.Module):
         )
         return out + bd
 
+
 def _stem_conv_s2d(x: jax.Array, kernel: jax.Array, bias: jax.Array,
                    dtype) -> jax.Array:
     """7x7/stride-2 stem conv as space-to-depth + 4x4/stride-1 conv.

@@ -128,10 +128,16 @@ def ae_multi(
     assert n > 0 and len(targets) == n
     masks = list(valid_masks) if valid_masks is not None else [None] * n
     total = jnp.float32(0.0)
+    count = jnp.float32(0.0)
     for src, tgt, m in zip(sources, targets, masks):
-        val, _ = angular_error(src, tgt, m, degrees=degrees)
-        total = total + val
-    return total / n, jnp.float32(1.0)
+        # weight by per-timestamp validity exactly like epe_multi: an
+        # all-invalid timestamp must not contribute its (guarded-
+        # denominator) garbage angle to the mean (VERDICT r4 weak #4)
+        val, ok = angular_error(src, tgt, m, degrees=degrees)
+        total = total + val * ok
+        count = count + ok
+    value = total / jnp.maximum(count, 1.0)
+    return value, (count > 0).astype(jnp.float32)
 
 
 def l1_channel_masked_metric(

@@ -1,4 +1,4 @@
-"""Same-session A/B: strip-mined v3 slab lookup vs the r2 kernel.
+"""Full per-iteration pyramid lookup timing (method A/B harness).
 
 Times the FULL per-iteration pyramid lookup (all levels, all targets)
 at flagship shapes, chained 12x so iterations serialize like the real
@@ -79,7 +79,7 @@ def bench(method, B, dtype, iters=12, K=8, grad=False):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--methods", default="pallas,pallas_v2")
+    ap.add_argument("--methods", default="pallas,pallas_q8")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--grad", action="store_true")
     ap.add_argument("--f32", action="store_true")

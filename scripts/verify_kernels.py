@@ -24,14 +24,9 @@ def main() -> None:
         _lookup_level_gather,
         build_corr_pyramid,
     )
-    from bflow_tpu.ops.pallas.corr_lookup import lookup_level_pallas
     from bflow_tpu.ops.pallas.corr_lookup_v3 import (
         lookup_level_slab,
         to_slab,
-    )
-    from bflow_tpu.ops.pallas.corr_lookup_v5 import (
-        lookup_level_slab_q8_v5,
-        lookup_level_slab_v5,
     )
     from bflow_tpu.ops.sampler import coords_grid
 
@@ -69,37 +64,21 @@ def main() -> None:
             jnp.float32,
         )
 
-        def f_pal(v, c):
-            return (lookup_level_pallas(v, c, cfg.radius) * gvec).sum()
-
         def f_v4(v, c):
             return (
                 lookup_level_slab(to_slab(v), c, cfg.radius) * gvec
             ).sum()
 
-        def f_v5(v, c):
-            return (
-                lookup_level_slab_v5(to_slab(v), c, cfg.radius) * gvec
-            ).sum()
-
         def f_ref(v, c):
             return (_lookup_level_gather(v, c, cfg.radius) * gvec).sum()
 
-        out_p = jax.jit(
-            lambda v, c: lookup_level_pallas(v, c, cfg.radius)
-        )(vol, coords)
         out_4 = jax.jit(
             lambda v, c: lookup_level_slab(to_slab(v), c, cfg.radius)
-        )(vol, coords)
-        out_5 = jax.jit(
-            lambda v, c: lookup_level_slab_v5(to_slab(v), c, cfg.radius)
         )(vol, coords)
         out_g = jax.jit(
             lambda v, c: _lookup_level_gather(v, c, cfg.radius)
         )(vol, coords)
-        dv_p, dc_p = jax.jit(jax.grad(f_pal, argnums=(0, 1)))(vol, coords)
         dv_4, dc_4 = jax.jit(jax.grad(f_v4, argnums=(0, 1)))(vol, coords)
-        dv_5, dc_5 = jax.jit(jax.grad(f_v5, argnums=(0, 1)))(vol, coords)
         dv_g, dc_g = jax.jit(jax.grad(f_ref, argnums=(0, 1)))(vol, coords)
 
         def err(a, b):
@@ -108,9 +87,7 @@ def main() -> None:
             return np.abs(a - b).max(), np.abs(a - b).max() / den
 
         for tag, (e_fwd, e_dv, e_dc) in (
-            ("v2", (err(out_p, out_g), err(dv_p, dv_g), err(dc_p, dc_g))),
             ("v4", (err(out_4, out_g), err(dv_4, dv_g), err(dc_4, dc_g))),
-            ("v5", (err(out_5, out_g), err(dv_5, dv_g), err(dc_5, dc_g))),
         ):
             print(
                 f"level {lvl} {tag} vol{tuple(vol.shape)}: "
@@ -135,18 +112,11 @@ def main() -> None:
     out_q = jax.jit(
         lambda q, s, c: lookup_level_slab_q8(to_slab(q), s, c, cfg.radius)
     )(q, scale, coords)
-    out_q5 = jax.jit(
-        lambda q, s, c: lookup_level_slab_q8_v5(to_slab(q), s, c,
-                                                cfg.radius)
-    )(q, scale, coords)
     out_g = jax.jit(
         lambda v, c: _lookup_level_gather(v, c, cfg.radius)
     )(vol0, coords)
     e = err(out_q, out_g)
     print(f"q8 lookup level 0: fwd abs={e[0]:.2e} rel={e[1]:.2e}")
-    ok &= e[1] < 2e-2
-    e = err(out_q5, out_g)
-    print(f"q8 v5 lookup level 0: fwd abs={e[0]:.2e} rel={e[1]:.2e}")
     ok &= e[1] < 2e-2
 
     # --- stem + generalized conv kernels (bf16, vs XLA bf16 conv) ---
@@ -163,8 +133,16 @@ def main() -> None:
     print(f"stem 480x640x15: fwd abs={e[0]:.2e} rel={e[1]:.2e}")
     ok &= e[1] < 2e-2
 
+    from bflow_tpu.ops.pallas.stem_conv import supported as stem_supported
+
     for (n, h, w, c, o) in ((2, 240, 320, 64, 96), (2, 120, 160, 96, 128),
                             (2, 92, 124, 96, 128)):  # stage-s2 + MultiFlow
+        if not stem_supported((n, h, w, c), jnp.bfloat16, 3, 3):
+            # production dispatch gates on supported(); e.g. MultiFlow
+            # hs=46 has no valid row block (stem_conv._pick_ri)
+            print(f"s2 conv 3x3 {n}x{h}x{w}x{c}->{o}: skipped "
+                  "(shape outside kernel gate; XLA conv is used there)")
+            continue
         x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((3, 3, c, o)) * 0.1,
                         jnp.float32)

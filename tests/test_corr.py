@@ -148,71 +148,6 @@ def test_onehot_lookup_matches_gather(rng):
     np.testing.assert_allclose(one, ref, rtol=1e-5, atol=1e-5)
 
 
-def test_pallas_lookup_custom_vjp_matches_gather(rng):
-    """Training path: pallas lookup gradients == gather-formulation VJP."""
-    import jax
-    import jax.numpy as jnp
-
-    from bflow_tpu.models.corr import _lookup_level_gather
-    from bflow_tpu.ops.pallas.corr_lookup import lookup_level_pallas
-
-    T, N, D, h, w, r = 2, 1, 8, 16, 14, 4
-    a = rng.standard_normal((T, N, h, w, D)).astype(np.float32)
-    b = rng.standard_normal((T, N, h, w, D)).astype(np.float32)
-    pyr = build_corr_pyramid(jnp.asarray(a), jnp.asarray(b), [1, 2])
-    _, vol = pyr[0]
-    coords = jnp.asarray(
-        np.stack(
-            [rng.uniform(-9, w + 8, (T, N, h, w)),
-             rng.uniform(-9, h + 8, (T, N, h, w))],
-            -1,
-        ).astype(np.float32)
-    )
-    gvec = jnp.asarray(
-        rng.standard_normal((T, N, h, w, (2 * r + 1) ** 2)), jnp.float32
-    )
-
-    def f_ref(v, c):
-        return (_lookup_level_gather(v, c, r) * gvec).sum()
-
-    def f_pal(v, c):
-        return (lookup_level_pallas(v, c, r, True) * gvec).sum()
-
-    dv_r, dc_r = jax.grad(f_ref, argnums=(0, 1))(vol, coords)
-    dv_p, dc_p = jax.grad(f_pal, argnums=(0, 1))(vol, coords)
-    np.testing.assert_allclose(
-        np.asarray(dv_p), np.asarray(dv_r), rtol=1e-4, atol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(dc_p), np.asarray(dc_r), rtol=1e-4, atol=2e-4
-    )
-
-
-def test_pallas_lookup_odd_shapes_and_radius(rng):
-    """Pallas path at radius 3 and query widths exercising the ch=4/2/1
-    chunk fallbacks (w1 not a multiple of 8)."""
-    import jax.numpy as jnp
-
-    from bflow_tpu.models.corr import _lookup_level_gather
-    from bflow_tpu.ops.pallas.corr_lookup import lookup_level_pallas
-
-    for (h1, w1, hl, wl, r) in [(6, 12, 32, 18, 3), (5, 10, 16, 9, 2),
-                                (4, 7, 16, 11, 4), (3, 8, 13, 9, 4)]:
-        vol = jnp.asarray(
-            rng.standard_normal((1, 2, h1, w1, hl, wl)), jnp.float32
-        )
-        coords = jnp.asarray(
-            np.stack(
-                [rng.uniform(-4, wl + 3, (1, 2, h1, w1)),
-                 rng.uniform(-4, hl + 3, (1, 2, h1, w1))],
-                -1,
-            ).astype(np.float32)
-        )
-        got = np.asarray(lookup_level_pallas(vol, coords, r, True))
-        want = np.asarray(_lookup_level_gather(vol, coords, r))
-        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
-
-
 def test_mixed_onehot_from_level_matches_gather(rng, monkeypatch):
     """Mixed dispatch (onehot_from_level): shallow levels through the
     pallas slab kernel (interpret mode), deep levels through the onehot

@@ -134,6 +134,43 @@ def test_epe_multi_with_traj_gating(rng):
     assert float(ok) == 1.0
 
 
+def test_ae_multi_skips_all_invalid_timestamps(rng):
+    """An all-invalid timestamp must be dropped from the ae_multi mean
+    (validity weighting, like epe_multi), not averaged in as a garbage
+    guarded-denominator angle."""
+    from bflow_tpu.utils.metrics import ae_multi
+
+    srcs = [rng.standard_normal((1, 5, 5, 2)).astype(np.float32)
+            for _ in range(3)]
+    tgts = [rng.standard_normal((1, 5, 5, 2)).astype(np.float32)
+            for _ in range(3)]
+    masks = [np.ones((1, 5, 5), bool) for _ in range(3)]
+    masks[1][:] = False  # timestamp 1 has NO valid pixels
+
+    val, ok = ae_multi(
+        [jnp.asarray(s) for s in srcs],
+        [jnp.asarray(t) for t in tgts],
+        [jnp.asarray(m) for m in masks],
+    )
+    want = np.mean([
+        float(angular_error(jnp.asarray(s), jnp.asarray(t),
+                            jnp.asarray(m))[0])
+        for i, (s, t, m) in enumerate(zip(srcs, tgts, masks))
+        if i != 1
+    ])
+    np.testing.assert_allclose(float(val), want, rtol=1e-5)
+    assert float(ok) == 1.0
+
+    # every timestamp invalid -> the update itself is invalid
+    none = [jnp.asarray(np.zeros((1, 5, 5), bool)) for _ in range(3)]
+    _, ok = ae_multi(
+        [jnp.asarray(s) for s in srcs],
+        [jnp.asarray(t) for t in tgts],
+        none,
+    )
+    assert float(ok) == 0.0
+
+
 def test_lin_assumption_and_bank(rng):
     src = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
     preds = predictions_from_lin_assumption(jnp.asarray(src), [0.5, 1.0])

@@ -55,6 +55,15 @@ def main(argv=None) -> None:
     else:
         val_ds = provider.get_val_dataset()
         task = TaskConfig(dataset="dsec")
+        # The reference raises NotImplementedError here (no DSEC val
+        # split with ground truth); our provider serves the TRAIN
+        # sequences without augmentation instead. Label the output so
+        # nobody mistakes these numbers for held-out validation.
+        print(
+            "NOTE: DSEC has no held-out validation split — metrics "
+            "below are TRAIN-SPLIT inference (no augmentation), not "
+            "held-out validation."
+        )
 
     batch_size = int(config["batch_size"])
     # keep every sample: the tail batch compiles one extra graph
