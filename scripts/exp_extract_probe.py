@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 HP = 64
 W1P = 80
 WLP = 80
-RI = 6
+RI = 1
 H1 = 60
 TN = 20  # Tl*N at flagship B=4 level 0
 PATCH = 16
