@@ -18,6 +18,7 @@ reference's directory/file naming scheme so existing caches are reused.
 
 from __future__ import annotations
 
+import threading
 from pathlib import Path
 from typing import List, Optional
 
@@ -87,13 +88,32 @@ class TwoStepSubSequence:
 
         self._h5f: Optional[h5py.File] = None
         self._slicer: Optional[EventSlicer] = None
+        self._open_lock = threading.Lock()
+
+    def __getstate__(self):
+        # Grain workers receive the dataset by pickle: drop the open h5
+        # handle and the (unpicklable) lock; each process reopens lazily.
+        state = self.__dict__.copy()
+        state["_h5f"] = None
+        state["_slicer"] = None
+        state["_open_lock"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._open_lock = threading.Lock()
 
     # -- low-level access ---------------------------------------------------
 
     def _ensure_open(self):
-        if self._h5f is None:
-            self._h5f = h5py.File(str(self.ev_file), "r")
-            self._slicer = EventSlicer(self._h5f)
+        # Threaded-loader safe: without the lock a worker could observe
+        # self._h5f set while self._slicer is still None (observed as an
+        # AttributeError under 4 workers, scripts/bench_loader.py).
+        if self._slicer is None:
+            with self._open_lock:
+                if self._slicer is None:
+                    self._h5f = h5py.File(str(self.ev_file), "r")
+                    self._slicer = EventSlicer(self._h5f)
 
     def _get_events(self, ts_from: int, ts_to: int):
         self._ensure_open()

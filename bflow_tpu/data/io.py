@@ -16,6 +16,8 @@ Corrupt cache files return None and are rebuilt by callers.
 
 from __future__ import annotations
 
+import os
+import threading
 from pathlib import Path
 from typing import Optional, Tuple, Union
 
@@ -65,11 +67,21 @@ def _native_blosc():
 
 
 def np_array_to_h5(array: np.ndarray, outpath: Union[str, Path]) -> None:
-    """Write a voxel cache file (dataset name 'voxel_grid')."""
+    """Write a voxel cache file (dataset name 'voxel_grid').
+
+    Atomic: writes a private tmp file and os.replace()s it into place.
+    Concurrent loader workers build neighbouring items whose windows
+    share cache files; an in-place h5py write let a reader open a
+    half-written file that still parsed, returning a wrong grid
+    (observed as a boundary-gap assert in subsequence._merged_grid
+    under the threaded Loader). With the rename, readers see either
+    the complete file or no file (then rebuild); racing writers both
+    produce identical bytes and the last rename wins."""
     outpath = Path(outpath)
     assert outpath.suffix == ".h5"
+    tmppath = outpath.with_suffix(f".tmp{os.getpid()}.{threading.get_ident()}.h5")
     nat = _native_blosc()
-    with h5py.File(str(outpath), "w") as h5f:
+    with h5py.File(str(tmppath), "w") as h5f:
         if nat is not None:
             # Reference-identical blosc-zstd cache.
             ds = h5f.create_dataset(
@@ -88,6 +100,7 @@ def np_array_to_h5(array: np.ndarray, outpath: Union[str, Path]) -> None:
                 "voxel_grid", data=array, compression="gzip",
                 compression_opts=1,
             )
+    os.replace(tmppath, outpath)
 
 
 def h5_to_np_array(inpath: Union[str, Path]) -> Optional[np.ndarray]:

@@ -118,8 +118,121 @@ def _dhat(pos, n, axis):
 
 
 # --------------------------------------------------------------------------
-# forward
+# forward (v6: y-hat matmul + per-query dynamic-roll x extraction)
 # --------------------------------------------------------------------------
+#
+# The v4 forward spends its time on per-chunk issue structure, not bytes
+# (q8 halved the HBM stream and LOST 12%, docs/STATUS.md r4): per 8-query
+# chunk it does 8 band-gather copies, a (wlp, w1p*WINP) x-hat build per
+# row, a second MXU contraction, and 8 diagonal-pack copies. v6 keeps the
+# y side exactly as v4 (the EY2 @ slab contraction handles fractional y
+# AND grid_sample zero padding via the hat weights + zero pad rows) and
+# replaces the whole x side with:
+#
+#   * one dynamic cyclic lane roll per query: the query's (WINP, wlp)
+#     y-blended band rolled so lane i holds map column (floor(x)-r+i)
+#     mod wlp. Valid taps never wrap (their positions lie in [0, wl));
+#     wrapped lanes are exactly the out-of-map taps, which the
+#     host-precomputed lerp weights zero out;
+#   * one fused masked x-lerp per chunk on the packed (WINP, ch*WINP)
+#     tile: out = P * WX0 + roll(P, -1) * WX1, with
+#     WX0[m] = (1-fx) * [0 <= x0-r+m < wl] and
+#     WX1[m] = fx * [0 <= x0-r+m+1 < wl] built on the host.
+#
+# No x-hat build, no second matmul, no band gather, no diagonal pack.
+# The backward pass is shared with v4 (_bwd_impl re-derives everything
+# from vol + coords + cotangent), so v6 slots under the same custom VJP.
+
+
+def _fwd_kernel_v6(
+    *refs, w1p, win, hp, wlp, ri, ch, quant=False, parity=False,
+):
+    (sx_ref, xw_ref, yc_ref, vol_ref, out_ref, d_scr, d_scr2) = refs
+    dt = jnp.bfloat16 if quant else vol_ref.dtype
+    prec = _precision(dt)
+    nch = w1p // ch
+    cb = ch * wlp
+    cw = ch * WINP
+
+    def yblend(rl, c):
+        yv = yc_ref[0, rl, :, c : c + 1]  # (cw, 1) abs y taps
+        ey2 = _hat(yv, hp, 1)  # (cw, hp)
+        band = vol_ref[0, rl, :, c * cb : (c + 1) * cb]
+        if quant:
+            band = band.astype(dt)
+        ey2 = ey2.astype(dt)
+        return jax.lax.dot_general(
+            ey2, band,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dt)
+
+    # depth-1 software pipeline, parity scratch — same schedule as v4
+    rp = yblend(0, 0)
+    for rl in range(ri):
+        for c in range(nch):
+            par = (rl * nch + c) % 2 if parity else 0
+            dv = d_scr2 if par else d_scr
+            nrl, nc = (rl, c + 1) if c + 1 < nch else (rl + 1, 0)
+            rp_next = yblend(nrl, nc) if nrl < ri else None
+            for ql in range(ch):
+                q = c * ch + ql
+                sx = sx_ref[0, rl, q]
+                strip = rp[
+                    ql * WINP : (ql + 1) * WINP,
+                    ql * wlp : (ql + 1) * wlp,
+                ]
+                rolled = pltpu.roll(strip, sx, axis=1)
+                dv[:, ql * WINP : (ql + 1) * WINP] = rolled[:, :WINP]
+            wx0 = xw_ref[0, rl, 0:1, c * cw : (c + 1) * cw].astype(dt)
+            wx1 = xw_ref[0, rl, 1:2, c * cw : (c + 1) * cw].astype(dt)
+            t = dv[:]
+            # shift-left-by-1 as a non-negative cyclic roll; the wrap
+            # crosses query groups only at lane 15 of each group, which
+            # the (win, win) unpack never reads (win <= 15)
+            tl1 = pltpu.roll(t, cw - 1, axis=1)
+            out_ref[0, rl, c] = t * wx0 + tl1 * wx1
+            rp = rp_next
+
+
+def _prep_positions_v6(coords, radius, w1p, ch, wlp, wl, wdt):
+    """Host-side prep for the v6 kernel. coords: (TN, h1, w1, 2). Returns
+      sx (TN, h1, w1p) int32 SMEM — cyclic roll shift per query, chosen
+        so rolled lane i holds map column (floor(x)-r+i) mod wlp;
+      xw (TN, h1, 2, w1p*WINP) — masked x-lerp weight rows WX0/WX1
+        (zero outside the map and for padded queries: grid_sample zero
+        padding lands entirely in these weights);
+      yc (TN, h1, ch*WINP, nch) f32 — absolute y tap positions, as v4.
+    """
+    tn, h1, w1, _ = coords.shape
+    offs = jnp.arange(WINP, dtype=jnp.float32) - float(radius)
+    x = coords[..., 0]
+    x0 = jnp.floor(x)
+    fx = (x - x0)[..., None]  # (TN, h1, w1, 1)
+    pos = x0[..., None] + offs  # (TN, h1, w1, WINP) tap positions
+    in0 = ((pos >= 0.0) & (pos <= wl - 1)).astype(jnp.float32)
+    pos1 = pos + 1.0
+    in1 = ((pos1 >= 0.0) & (pos1 <= wl - 1)).astype(jnp.float32)
+    wx0 = (1.0 - fx) * in0
+    wx1 = fx * in1
+    bx = x0.astype(jnp.int32) - radius
+    sx = jnp.remainder(-bx, wlp).astype(jnp.int32)
+
+    yl = coords[..., 1:2] + offs
+    if w1p != w1:
+        pad3 = ((0, 0), (0, 0), (0, w1p - w1), (0, 0))
+        wx0 = jnp.pad(wx0, pad3)
+        wx1 = jnp.pad(wx1, pad3)
+        yl = jnp.pad(yl, pad3, constant_values=_FAR)
+        sx = jnp.pad(sx, ((0, 0), (0, 0), (0, w1p - w1)))
+    xw = jnp.stack(
+        [wx0.reshape(tn, h1, w1p * WINP),
+         wx1.reshape(tn, h1, w1p * WINP)],
+        axis=2,
+    ).astype(wdt)
+    nch = w1p // ch
+    yc = yl.reshape(tn, h1, nch, ch * WINP).transpose(0, 1, 3, 2)
+    return sx, xw, yc
 
 
 def _fwd_kernel(
@@ -304,7 +417,7 @@ def _pick_ri(h1, per_row_bytes, ri=None):
 
 
 def _fwd_impl(vol, coords, radius, interpret, ri_override=None,
-              scale=None):
+              scale=None, wl=None):
     Tl, N, h1, hp, lanes = vol.shape
     w1 = coords.shape[3]
     ch, w1p, wlp = _resolve_chunking(w1, lanes)
@@ -315,9 +428,6 @@ def _fwd_impl(vol, coords, radius, interpret, ri_override=None,
     out_dt = jnp.bfloat16 if quant else vol.dtype
 
     volr = vol.reshape(Tl * N, h1, hp, lanes)
-    xp, yc = _prep_positions(
-        coords.reshape(Tl * N, h1, w1, 2), radius, w1p, ch
-    )
     ri = _pick_ri(h1, hp * lanes * vol.dtype.itemsize, ri_override)
 
     # Parity-alternating scratch is the measured default (bf16 -7%,
@@ -328,8 +438,59 @@ def _fwd_impl(vol, coords, radius, interpret, ri_override=None,
     # (kept strictly as the regression repro for exp_v4_knobs.py).
     parity = os.environ.get("BFLOW_V4_PARITY", "1") == "1"
     q8_pipe = os.environ.get("BFLOW_Q8_PIPE", "") == "1"
+    use_v6 = os.environ.get("BFLOW_LOOKUP_V6", "0") == "1"
 
     nch = w1p // ch
+    if use_v6:
+        # x-tap zero padding needs the TRUE map width; the slab's zero
+        # pad columns [wl, wlp) are equivalent, so wlp is a safe
+        # default when the caller does not thread wl through.
+        sx, xw, yc = _prep_positions_v6(
+            coords.reshape(Tl * N, h1, w1, 2), radius, w1p, ch, wlp,
+            wl if wl is not None else wlp,
+            jnp.float32 if vol.dtype == jnp.float32 else jnp.bfloat16,
+        )
+        packed = pl.pallas_call(
+            functools.partial(
+                _fwd_kernel_v6, w1p=w1p, win=win, hp=hp, wlp=wlp,
+                ri=ri, ch=ch, quant=quant, parity=parity,
+            ),
+            grid=(Tl * N, h1 // ri),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, ri, w1p), lambda t, i: (t, i, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, ri, 2, w1p * WINP), lambda t, i: (t, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                _chunkcol_spec(ri, nch, ch),
+                _slab_spec(ri, hp, lanes),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, ri, nch, WINP, ch * WINP),
+                lambda t, i: (t, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (Tl * N, h1, nch, WINP, ch * WINP), out_dt
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((WINP, ch * WINP), out_dt),
+                pltpu.VMEM((WINP, ch * WINP), out_dt),
+            ],
+            interpret=interpret,
+        )(sx, xw, yc, volr)
+        if quant:
+            sc = scale.reshape(Tl * N, h1, 1, 1, 1).astype(packed.dtype)
+            packed = packed * sc
+        out = _unpack_windows(packed, w1, win, ch)
+        return out.reshape(Tl, N, h1, w1, win * win)
+
+    xp, yc = _prep_positions(
+        coords.reshape(Tl * N, h1, w1, 2), radius, w1p, ch
+    )
     in_specs = [
         _row_spec(ri, w1p * WINP),
         _chunkcol_spec(ri, nch, ch),
